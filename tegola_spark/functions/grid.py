@@ -134,6 +134,69 @@ def tile_extent(z, x, y):
     return minx, maxy - res, minx + res, maxy
 
 
+def tile2lat_slippy(y, z):
+    """slippy y2deg — vendor/.../slippy/maths.go:149-153 (NO y=0 special
+    case, unlike tegola's Tile2Lat)."""
+    y = np.asarray(y, dtype=np.float64)
+    n = math.pi - 2.0 * math.pi * y / np.exp2(float(z))
+    return 180.0 / math.pi * np.arctan(0.5 * (np.exp(n) - np.exp(-n)))
+
+
+# Spherical mercator radius used by the slippy/proj tile-extent path:
+# proj def "+proj=merc +a=6378137 +b=6378137" (vendor/.../proj/core;
+# vendor/.../slippy/tile_grid.go:122-130). NOTE: tile EXTENTS are
+# spherical while FEATURE reprojection is ellipsoidal
+# (maths/webmercator/main.go) — this asymmetry is the reference's
+# actual behavior and we reproduce it.
+SPHERICAL_R = 6378137.0
+
+
+def merc_x_spherical(lon):
+    lon = np.asarray(lon, dtype=np.float64)
+    return SPHERICAL_R * lon * math.pi / 180.0
+
+
+def merc_y_spherical(lat):
+    lat = np.asarray(lat, dtype=np.float64)
+    return SPHERICAL_R * np.log(np.tan(math.pi / 4.0 + lat * math.pi / 360.0))
+
+
+def tile_extent_3857(z, x, y):
+    """The extent the atlas pipeline actually quantizes against
+    (provider/provider.go:95-105 -> slippy.Extent -> Grid.ToNative):
+    spherical web-mercator of the corner lon/lats, composed through
+    x2deg/y2deg exactly. Returns normalized (minx, miny, maxx, maxy)
+    (geom.NewExtentFromPoints sorts)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    n = np.exp2(float(z))
+    lon0 = x / n * 360.0 - 180.0
+    lon1 = (x + 1) / n * 360.0 - 180.0
+    lat0 = tile2lat_slippy(y, z)      # top
+    lat1 = tile2lat_slippy(np.asarray(y) + 1, z)  # bottom
+    return (
+        merc_x_spherical(lon0),
+        merc_y_spherical(lat1),
+        merc_x_spherical(lon1),
+        merc_y_spherical(lat0),
+    )
+
+
+def pixel_ratio_for_zoom(z, tile_dim=DEFAULT_EXTENT):
+    """projected-units per MVT pixel at zoom z — slippy/tile.go:150-170:
+    xspan of tile (z, 0, 0) / 4096."""
+    minx, _, maxx, _ = tile_extent_3857(z, 0, 0)
+    return (maxx - minx) / float(tile_dim)
+
+
+def buffered_tile_extent_3857(z, x, y, buffer=DEFAULT_BUFFER):
+    """provider.Tile.BufferedExtent (provider/provider.go:107-110):
+    extent expanded on all sides by pixel_ratio * buffer."""
+    minx, miny, maxx, maxy = tile_extent_3857(z, x, y)
+    d = pixel_ratio_for_zoom(z) * float(buffer)
+    return (minx - d, miny - d, maxx + d, maxy + d)
+
+
 def zres(z, extent=DEFAULT_EXTENT):
     """T6: meters/pixel at zoom z — tile.go:208-210."""
     return EQUATOR / (extent * math.exp2(float(z)))
