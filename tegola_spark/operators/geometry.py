@@ -1,0 +1,502 @@
+"""Geometry kernels (reference operators G1-G7, J4) — pure NumPy.
+
+These run inside Arrow-vectorized pandas UDFs; none of them touch Spark.
+
+Ported semantics:
+  * Douglas-Peucker simplify with the reference's quirks
+    (maths/simplify/douglas_peucker.go:9-39, simplify.go:11-128):
+    tolerance squared into epsilon AND re-squared down the recursion,
+    the scan skipping the second-to-last vertex, the manhattan-length
+    gate, the ring-area gates.
+  * Line clipping: the 4-case in/out walk with sorted intersect points
+    and direction preservation (maths/clip/clip.go:26-122).
+  * CleanLinestring repeated-point-cycle removal
+    (maths/validate/validate.go:15-38).
+  * Point-in-polygon: even-odd crossing with boundary-inclusive
+    semantics (on-edge => contained), matching the hitmap's behavior
+    of returning true for on-line points (maths/hitmap/hitmap.go:108-196).
+    The hitmap's y*100 fixed-point quantization is a Go perf hack, not
+    a semantic requirement; we use exact float comparisons.
+  * Polygon clip ("make valid + clip", G3): the reference runs a ~2.1k
+    LoC bespoke sweep (maths/makevalid). For VALID polygons clipped to
+    a rectangle its result equals Sutherland–Hodgman rect clipping, so
+    the engine uses S-H here (clip region is always the buffered tile
+    rect, tile.go:104-107) and drops degenerate output. Differential
+    testing against the reference's makevalid fixture table is the
+    round-2+ path if parity on invalid inputs is required
+    (SURVEY.md §7.4(2)).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# G1: Douglas-Peucker simplify
+# ---------------------------------------------------------------------------
+
+
+def _perp_distance(p0, p1, pts):
+    """maths/line.go:141-154 — perpendicular distance from the infinite
+    line (p0, p1). Vectorized over pts (n,2)."""
+    dx = p1[0] - p0[0]
+    dy = p1[1] - p0[1]
+    denom = np.abs(dy * pts[:, 0] - dx * pts[:, 1] + p1[0] * p0[1] - p1[1] * p0[0])
+    num = np.sqrt(dy * dy + dx * dx)
+    if num == 0:
+        return np.zeros(len(pts))
+    return denom / num
+
+
+def dp_simplify(pts: np.ndarray, tolerance: float) -> np.ndarray:
+    """Exact port of DouglasPeucker (douglas_peucker.go:9-39).
+
+    Reference quirks preserved deliberately:
+      * epsilon = tolerance**2, and EPSILON (not tolerance) is passed to
+        recursive calls — each level squares again;
+      * the distance scan runs i in [1, len-3] — the second-to-last
+        point is never a split candidate;
+      * recursion splits [0:idx] / [idx:] (idx excluded from the left).
+    """
+    if tolerance <= 0 or len(pts) <= 2:
+        return pts
+    epsilon = tolerance * tolerance
+    inner = pts[1:len(pts) - 2]
+    if len(inner) == 0:
+        return np.vstack([pts[0], pts[-1]])
+    d = _perp_distance(pts[0], pts[-1], inner)
+    k = int(np.argmax(d))
+    dmax = d[k]
+    idx = k + 1
+    if dmax > epsilon:
+        rec1 = dp_simplify(pts[0:idx], epsilon)
+        rec2 = dp_simplify(pts[idx:], epsilon)
+        return np.vstack([rec1, rec2])
+    return np.vstack([pts[0], pts[-1]])
+
+
+def manhattan_length(pts: np.ndarray) -> float:
+    """DistOfLine — maths/maths.go:138-147 (manhattan, not euclidean)."""
+    if len(pts) < 2:
+        return 0.0
+    d = np.abs(np.diff(pts, axis=0))
+    return float(d.sum())
+
+
+def ring_area_abs(pts: np.ndarray) -> float:
+    """AreaOfPolygonLineString — maths/maths.go:114-125 (|shoelace|/2)."""
+    x = pts[:, 0]
+    y = pts[:, 1]
+    return abs(float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))) / 2.0
+
+
+def _slope_intercept(p0, p1):
+    """points.SlopeIntercept — maths/points/points.go:45-57."""
+    dx = p1[0] - p0[0]
+    dy = p1[1] - p0[1]
+    if dx == 0 or dy == 0:
+        return 0.0, p0[1], dx != 0
+    m = dy / dx
+    return m, p0[1] - m * p0[0], True
+
+
+def normalize_ring_points(pts: np.ndarray) -> np.ndarray:
+    """simplify.go:131-155: de-close (drop FIRST point when closed),
+    then drop points collinear with their neighbors (slope test against
+    a trailing anchor)."""
+    if len(pts) >= 2 and pts[0][0] == pts[-1][0] and pts[0][1] == pts[-1][1]:
+        pts = pts[1:]
+    if len(pts) <= 4:
+        return pts
+    out = [pts[0]]
+    lpt = 0
+    for i in range(1, len(pts)):
+        ni = i + 1 if i + 1 < len(pts) else 0
+        m1, _, sdef1 = _slope_intercept(pts[lpt], pts[i])
+        m2, _, sdef2 = _slope_intercept(pts[lpt], pts[ni])
+        if m1 != m2 or sdef1 != sdef2:
+            out.append(pts[i])
+            lpt = i
+    return np.array(out)
+
+
+def simplify_linestring(pts: np.ndarray, tolerance: float):
+    """simplify.go:57-70: skip if <=4 points or manhattan length <
+    tolerance (NOT squared)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    if len(pts) <= 4 or manhattan_length(pts) < tolerance:
+        return pts
+    out = dp_simplify(pts, tolerance)
+    return out if len(out) else None
+
+
+def simplify_polygon(rings, tolerance: float):
+    """simplify.go:72-128 with the reference's per-ring gates."""
+    if not len(rings):
+        return None
+    sq = tolerance * tolerance
+    out = []
+    for i, ring in enumerate(rings):
+        ring = np.asarray(ring, dtype=np.float64)
+        if ring_area_abs(ring) < sq:
+            if i == 0:
+                return [np.asarray(r, dtype=np.float64) for r in rings]
+            out.append(ring)
+            continue
+        if len(ring) <= 2:
+            if i == 0:
+                return None
+            continue
+        pts = normalize_ring_points(ring)
+        if len(pts) <= 4:
+            if i == 0:
+                return [np.asarray(r, dtype=np.float64) for r in rings]
+            out.append(ring)
+            continue
+        pts = dp_simplify(pts, sq)
+        if len(pts) <= 2:
+            if i == 0:
+                return None
+            continue
+        out.append(pts)
+    return out or None
+
+
+def simplify_geometry(geom, tolerance: float):
+    """SimplifyGeometry — simplify.go:11-54. Points pass through."""
+    gtype, data = geom
+    if gtype == "LineString":
+        out = simplify_linestring(data, tolerance)
+        return None if out is None else (gtype, out)
+    if gtype == "MultiLineString":
+        outs = [simplify_linestring(l, tolerance) for l in data]
+        outs = [o for o in outs if o is not None]
+        return ("MultiLineString", outs) if outs else None
+    if gtype == "Polygon":
+        out = simplify_polygon(data, tolerance)
+        return None if out is None else (gtype, out)
+    if gtype == "MultiPolygon":
+        outs = [simplify_polygon(p, tolerance) for p in data]
+        outs = [o for o in outs if o is not None]
+        return ("MultiPolygon", outs) if outs else None
+    return geom
+
+
+# ---------------------------------------------------------------------------
+# G2: line clipping (maths/clip/clip.go)
+# ---------------------------------------------------------------------------
+
+def _contains_point(ext, pt) -> bool:
+    # bbox.go:268-275 (inclusive)
+    return ext[0] <= pt[0] <= ext[2] and ext[1] <= pt[1] <= ext[3]
+
+
+def _intersect_infinite(l1, l2):
+    """maths.Intersect — maths/maths.go:160-235 (infinite lines, with
+    the reference's vertical/horizontal special cases)."""
+    (a0, a1) = l1
+    (b0, b1) = l2
+
+    a_vert = a0[0] == a1[0]
+    b_vert = b0[0] == b1[0]
+    a_horz = a0[1] == a1[1]
+    b_horz = b0[1] == b1[1]
+
+    if a_vert:
+        if b_vert:
+            return None
+        if a0[0] == b0[0]:
+            return (a0[0], b0[1])
+        if a0[0] == b1[0]:
+            return (a0[0], b1[1])
+    if a_horz:
+        if b_horz:
+            return None
+        if a0[1] == b0[1]:
+            return (b0[0], a0[1])
+        if a0[1] == b1[1]:
+            return (b1[0], a0[1])
+
+    m1, c1, sdef1 = _slope_intercept(a0, a1)
+    m2, c2, sdef2 = _slope_intercept(b0, b1)
+    if sdef1 == sdef2 and m1 == m2:
+        return None
+    if not sdef1:
+        x = a0[0]
+        return (x, c2) if m2 == 0 else (x, m2 * x + c2)
+    if not sdef2:
+        x = b0[0]
+        return (x, c1) if m1 == 0 else (x, m1 * x + c1)
+    if m1 == 0:
+        y = a0[1]
+        return ((y - c2) / m2, y)
+    if m2 == 0:
+        y = b0[1]
+        return ((y - c1) / m1, y)
+    x = (c2 - c1) / (m1 - m2)
+    return (x, m1 * x + c1)
+
+
+def _in_between(seg, pt) -> bool:
+    # maths/line.go:42-53 (inclusive bbox of the segment)
+    (p0, p1) = seg
+    lx, gx = (p0[0], p1[0]) if p0[0] <= p1[0] else (p1[0], p0[0])
+    ly, gy = (p0[1], p1[1]) if p0[1] <= p1[1] else (p1[1], p0[1])
+    return lx <= pt[0] <= gx and ly <= pt[1] <= gy
+
+
+def _extent_edges(ext):
+    # bbox.go:47-59 vertex order (minx,miny),(maxx,miny),(maxx,maxy),(minx,maxy)
+    v = [(ext[0], ext[1]), (ext[2], ext[1]), (ext[2], ext[3]), (ext[0], ext[3])]
+    return [(v[0], v[1]), (v[1], v[2]), (v[2], v[3]), (v[3], v[0])]
+
+
+def _intersect_pts(ext, seg):
+    """intersectPt — clip.go:25-48: unique on-segment intersections with
+    the 4 extent edges, sorted by (x, y)."""
+    pts = []
+    for edge in _extent_edges(ext):
+        pt = _intersect_infinite(edge, seg)
+        if pt is None:
+            continue
+        if not _in_between(edge, pt) or not _in_between(seg, pt):
+            continue
+        if any(p[0] == pt[0] and p[1] == pt[1] for p in pts):
+            continue
+        pts.append(pt)
+    pts.sort()
+    return pts
+
+
+def _point_less(p1, p2) -> bool:
+    return (p1[0], p1[1]) < (p2[0], p2[1])
+
+
+def clip_linestring(pts: np.ndarray, ext):
+    """clip.LineString — clip.go:50-122. ``ext`` = (minx, miny, maxx,
+    maxy). Returns a list of (n,2) arrays (the clipped multi-line)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    if len(pts) == 0:
+        return []
+    out = []
+    cpts = []
+    lpt_in = _contains_point(ext, pts[0])
+    if lpt_in:
+        cpts.append(tuple(pts[0]))
+    for i in range(1, len(pts)):
+        cpt = tuple(pts[i])
+        prev = tuple(pts[i - 1])
+        cpt_in = _contains_point(ext, cpt)
+        if not lpt_in and cpt_in:  # entering
+            ipts = _intersect_pts(ext, (prev, cpt))
+            if ipts:
+                if len(ipts) == 1:
+                    cpts.append(ipts[0])
+                else:
+                    idx = 0 if _point_less(prev, cpt) == _point_less(ipts[0], ipts[1]) else 1
+                    cpts.append(ipts[idx])
+            cpts.append(cpt)
+        elif not lpt_in and not cpt_in:  # possibly crossing through
+            ipts = _intersect_pts(ext, (prev, cpt))
+            if len(ipts) > 1:
+                f, s = (0, 1) if _point_less(prev, cpt) == _point_less(ipts[0], ipts[1]) else (1, 0)
+                out.append(np.array([ipts[f], ipts[s]]))
+            cpts = []
+        elif lpt_in and cpt_in:  # inside
+            cpts.append(cpt)
+        else:  # exiting
+            ipts = _intersect_pts(ext, (prev, cpt))
+            if ipts:
+                last = cpts[-1]
+                for ipt in ipts:
+                    if ipt[0] != last[0] or ipt[1] != last[1]:
+                        cpts.append(ipt)
+            out.append(np.array(cpts))
+            cpts = []
+        lpt_in = cpt_in
+    if cpts:
+        out.append(np.array(cpts))
+    return [a for a in out if len(a) >= 2]
+
+
+# ---------------------------------------------------------------------------
+# G3 (substitute): polygon rect clip (Sutherland–Hodgman)
+# ---------------------------------------------------------------------------
+
+def _sh_clip_edge(pts: np.ndarray, inside_fn, intersect_fn) -> np.ndarray:
+    out = []
+    n = len(pts)
+    for i in range(n):
+        cur = pts[i]
+        prev = pts[i - 1]
+        cin, pin = inside_fn(cur), inside_fn(prev)
+        if cin:
+            if not pin:
+                out.append(intersect_fn(prev, cur))
+            out.append(tuple(cur))
+        elif pin:
+            out.append(intersect_fn(prev, cur))
+    return np.array(out) if out else np.empty((0, 2))
+
+
+def clip_ring_rect(ring: np.ndarray, ext) -> np.ndarray:
+    """Clip one ring to a rectangle (open ring in, open ring out)."""
+    minx, miny, maxx, maxy = ext
+    pts = np.asarray(ring, dtype=np.float64)
+
+    def clip_min_x(p0, p1):
+        t = (minx - p0[0]) / (p1[0] - p0[0])
+        return (minx, p0[1] + t * (p1[1] - p0[1]))
+
+    def clip_max_x(p0, p1):
+        t = (maxx - p0[0]) / (p1[0] - p0[0])
+        return (maxx, p0[1] + t * (p1[1] - p0[1]))
+
+    def clip_min_y(p0, p1):
+        t = (miny - p0[1]) / (p1[1] - p0[1])
+        return (p0[0] + t * (p1[0] - p0[0]), miny)
+
+    def clip_max_y(p0, p1):
+        t = (maxy - p0[1]) / (p1[1] - p0[1])
+        return (p0[0] + t * (p1[0] - p0[0]), maxy)
+
+    for inside, isect in (
+        (lambda p: p[0] >= minx, clip_min_x),
+        (lambda p: p[0] <= maxx, clip_max_x),
+        (lambda p: p[1] >= miny, clip_min_y),
+        (lambda p: p[1] <= maxy, clip_max_y),
+    ):
+        if len(pts) == 0:
+            return pts
+        pts = _sh_clip_edge(pts, inside, isect)
+    return pts
+
+
+def clip_polygon_rect(rings, ext):
+    """Clip polygon rings to a rect; degenerate (<3 pt or zero-area)
+    rings dropped; empty ring 0 drops the polygon."""
+    out = []
+    for i, ring in enumerate(rings):
+        c = clip_ring_rect(ring, ext)
+        if len(c) >= 3 and ring_area_abs(c) > 0:
+            out.append(c)
+        elif i == 0:
+            return []
+    return out
+
+
+def clean_geometry(geom, clip_region):
+    """validate.CleanGeometry analog (validate.go:101-146): lines get
+    the exact ported clip walk; polygons get rect clip (see module
+    docstring for the makevalid substitution rationale). clip_region
+    None = no clipping (the DontClip toggle, atlas/layer.go:21-29)."""
+    if geom is None:
+        return None
+    gtype, data = geom
+    if clip_region is None:
+        return geom
+    if gtype == "LineString":
+        parts = clip_linestring(data, clip_region)
+        return ("MultiLineString", parts) if parts else None
+    if gtype == "MultiLineString":
+        parts = []
+        for line in data:
+            parts.extend(clip_linestring(line, clip_region))
+        return ("MultiLineString", parts) if parts else None
+    if gtype == "Polygon":
+        rings = clip_polygon_rect(data, clip_region)
+        return ("Polygon", rings) if rings else None
+    if gtype == "MultiPolygon":
+        polys = []
+        for rings in data:
+            c = clip_polygon_rect(rings, clip_region)
+            if c:
+                polys.append(c)
+        return ("MultiPolygon", polys) if polys else None
+    if gtype == "Point":
+        return geom if _contains_point(clip_region, data) else None
+    if gtype == "MultiPoint":
+        pts = np.asarray(data, dtype=np.float64)
+        keep = (
+            (pts[:, 0] >= clip_region[0]) & (pts[:, 0] <= clip_region[2])
+            & (pts[:, 1] >= clip_region[1]) & (pts[:, 1] <= clip_region[3])
+        )
+        pts = pts[keep]
+        return ("MultiPoint", pts) if len(pts) else None
+    return geom
+
+
+# ---------------------------------------------------------------------------
+# Clean: repeated-point-cycle removal
+# ---------------------------------------------------------------------------
+
+def clean_linestring(pts: np.ndarray) -> np.ndarray:
+    """CleanLinestring — validate.go:15-38: when a point repeats, skip
+    ahead to its LAST occurrence (removes self-closing cycles)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    last_idx = {}
+    for i, p in enumerate(map(tuple, pts)):
+        last_idx[p] = i
+    out = []
+    i = 0
+    while i < len(pts):
+        p = tuple(pts[i])
+        out.append(pts[i])
+        j = last_idx[p]
+        i = (j if j > i else i) + 1
+    return np.array(out)
+
+
+# ---------------------------------------------------------------------------
+# J4: point-in-polygon (even-odd, boundary-inclusive)
+# ---------------------------------------------------------------------------
+
+def points_in_rings(points: np.ndarray, rings) -> np.ndarray:
+    """Vectorized even-odd containment of ``points`` (n,2) in the union
+    of ``rings`` (hitmap semantics: crossings counted over ALL segments
+    of ALL rings; a point exactly on any edge is contained —
+    maths/hitmap/hitmap.go:108-196)."""
+    points = np.asarray(points, dtype=np.float64)
+    n = len(points)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    inside = np.zeros(n, dtype=bool)
+    on_edge = np.zeros(n, dtype=bool)
+    px = points[:, 0]
+    py = points[:, 1]
+    for ring in rings:
+        ring = np.asarray(ring, dtype=np.float64)
+        if len(ring) < 3:
+            continue
+        x0 = ring[:, 0]
+        y0 = ring[:, 1]
+        x1 = np.roll(x0, -1)
+        y1 = np.roll(y0, -1)
+        for (ax, ay, bx, by) in zip(x0, y0, x1, y1):
+            # crossing test (half-open on y to handle vertices once)
+            cond = (ay > py) != (by > py)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = ax + (py - ay) * (bx - ax) / (by - ay)
+            cross = cond & (px < np.where(cond, xint, np.inf))
+            inside ^= cross
+            # boundary test: collinear and within the segment bbox
+            d = (bx - ax) * (py - ay) - (px - ax) * (by - ay)
+            within = (
+                (np.minimum(ax, bx) <= px) & (px <= np.maximum(ax, bx))
+                & (np.minimum(ay, by) <= py) & (py <= np.maximum(ay, by))
+            )
+            on_edge |= (d == 0) & within
+    return inside | on_edge
+
+
+def points_in_polygon(points: np.ndarray, geom) -> np.ndarray:
+    """Containment against a Polygon or MultiPolygon geometry tuple."""
+    gtype, data = geom
+    if gtype == "Polygon":
+        return points_in_rings(points, data)
+    if gtype == "MultiPolygon":
+        out = np.zeros(len(points), dtype=bool)
+        for rings in data:
+            out |= points_in_rings(points, rings)
+        return out
+    raise ValueError(f"not a polygon: {gtype}")
