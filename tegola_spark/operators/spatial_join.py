@@ -1,0 +1,209 @@
+"""Distributed spatial operators: two-phase spatial join + cell-ring kNN.
+
+Two-phase spatial join (reference J2/J3/J4, SURVEY.md §2.3):
+tegola's scan-side bbox range join (`geom && !BBOX!`,
+provider/postgis/util.go:152-179) + GPKG r-tree index join
+(provider/gpkg/gpkg.go:108-118) + hitmap point-in-polygon
+(maths/hitmap/hitmap.go:108-196) become, in Spark terms:
+
+  phase 1 (prefilter): polygons -> cover cells (explode) ; points ->
+      cell id; EQUI-join on the cell — broadcast when the polygon side
+      is small (it replaces the r-tree), shuffled hash join + AQE skew
+      split otherwise. This is the canonical range-join decomposition:
+      the big side never shuffles when the dim side broadcasts.
+  phase 2 (residual): exact point-in-polygon as an Arrow pandas UDF,
+      vectorized per distinct polygon within each batch.
+
+At 100 TB the only wide exchange is the (optional) final aggregation;
+the join itself is map-side. Hot cells (continent-scale polygons over
+dense page clusters) are handled by keeping covers coarse per layer
+(bounded cover size) + AQE skew-join splitting on the shuffled path.
+
+Cell-ring kNN (north-star requirement; no tegola precedent —
+SURVEY.md §7.4(7)): exact k-nearest-neighbors in (lon, lat) euclidean
+space over a UNIFORM degree grid (ring math on mercator cells is not
+distance-uniform; a fixed-degree grid gives exact ring bounds).
+Algorithm (all heavy work stays distributed; only per-query aggregates
+reach the driver):
+
+  A. candidate pass: points within chebyshev cell-disk r of each query
+     (broadcast query-cell list, equi-join) -> per-query kth distance
+     d_k; r doubles for under-filled queries.
+  B. exactness pass: re-join with r_safe = ceil(sqrt(d_k))/s + 1 cells
+     — every point that could beat the kth candidate is inside that
+     disk — then window top-k (rank by (dist_sq, id)).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from ..functions import cells, wkb
+from . import geometry as geo
+
+
+# ---------------------------------------------------------------------------
+# two-phase spatial join
+# ---------------------------------------------------------------------------
+
+def polygon_cover(polys: DataFrame, res: int) -> DataFrame:
+    """Explode polygons to their bbox cover cells at ``res`` (the
+    broadcastable 'index side'). Requires minx/miny/maxx/maxy columns
+    (precomputed envelope, F3-style — provider/gpkg/util.go:30-35)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cover(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
+        return pd.Series([
+            cells.cover_bbox(x0, y0, x1, y1, res)
+            for x0, y0, x1, y1 in zip(minx, miny, maxx, maxy)
+        ])
+
+    return polys.withColumn("cell", F.explode(cover("minx", "miny", "maxx", "maxy")))
+
+
+def pip_filter_udf():
+    """Residual predicate: exact PIP on WKB polygons, vectorized per
+    distinct polygon inside each Arrow batch (J4)."""
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(lon: pd.Series, lat: pd.Series, geom_wkb: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        pts = np.column_stack([lon.to_numpy(), lat.to_numpy()])
+        # group rows by polygon so each polygon decodes once and tests
+        # all its points in one vectorized call
+        groups: dict[bytes, list[int]] = {}
+        for i, b in enumerate(geom_wkb):
+            groups.setdefault(bytes(b), []).append(i)
+        for b, idxs in groups.items():
+            g = wkb.decode(b)
+            idx = np.array(idxs)
+            out[idx] = geo.points_in_polygon(pts[idx], g)
+        return pd.Series(out)
+
+    return pip
+
+
+def spatial_join(points: DataFrame, polys: DataFrame, res: int,
+                 broadcast_polys: bool = True) -> DataFrame:
+    """points (lon, lat, ...) x polys (feature_id, layer, geom WKB,
+    minx..maxy) -> matched pairs. Inner join; a point can match many
+    polygons (one row per match)."""
+    cover = polygon_cover(polys, res)
+    if broadcast_polys:
+        cover = F.broadcast(cover)
+    pts = points.withColumn("cell", cells.col_cell_from_lonlat(F.col("lon"), F.col("lat"), res))
+    cand = pts.join(cover, "cell", "inner")
+    pip = pip_filter_udf()
+    return cand.where(pip(F.col("lon"), F.col("lat"), F.col("geom"))).drop("cell")
+
+
+# ---------------------------------------------------------------------------
+# cell-ring kNN (uniform degree grid)
+# ---------------------------------------------------------------------------
+
+def _grid_cols(df: DataFrame, step_deg: float) -> DataFrame:
+    return (
+        df.withColumn("_cx", F.floor((F.col("lon") + 180.0) / F.lit(step_deg)).cast("long"))
+          .withColumn("_cy", F.floor((F.col("lat") + 90.0) / F.lit(step_deg)).cast("long"))
+    )
+
+
+def _disk_cells(qx: int, qy: int, r: int):
+    return [(qx + dx, qy + dy) for dx in range(-r, r + 1) for dy in range(-r, r + 1)]
+
+
+def knn_cell_ring(points: DataFrame, queries, k: int, step_deg: float = 4.0,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact kNN of each query against ``points`` (lon/lat) by squared
+    euclidean degree distance; ties broken by ``id_col``.
+
+    ``queries``: list of (query_id, qlon, qlat). Returns DataFrame
+    (query_id, rank, <id_col>, dist_sq).
+    """
+    spark = points.sparkSession
+    pts = _grid_cols(points, step_deg).select(id_col, "lon", "lat", "_cx", "_cy")
+    pts.cache()
+    try:
+        total = pts.count()  # also materializes the cache
+        qinfo = {
+            qid: (
+                float(qlon), float(qlat),
+                int(math.floor((qlon + 180.0) / step_deg)),
+                int(math.floor((qlat + 90.0) / step_deg)),
+            )
+            for qid, qlon, qlat in queries
+        }
+
+        def run_pass(radii: dict) -> DataFrame:
+            rows = []
+            for qid, r in radii.items():
+                qlon, qlat, cx, cy = qinfo[qid]
+                for (gx, gy) in _disk_cells(cx, cy, r):
+                    rows.append((qid, qlon, qlat, gx, gy))
+            qdf = spark.createDataFrame(
+                rows, "query_id long, qlon double, qlat double, _cx long, _cy long")
+            cand = pts.join(F.broadcast(qdf), ["_cx", "_cy"], "inner")
+            dist = (
+                (F.col("lon") - F.col("qlon")) ** 2
+                + (F.col("lat") - F.col("qlat")) ** 2
+            ).alias("dist_sq")
+            w = Window.partitionBy("query_id").orderBy("dist_sq", id_col)
+            return (
+                cand.select("query_id", id_col, dist)
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+            )
+
+        # pass A: grow radii until every query has k candidates
+        radii = {qid: 1 for qid in qinfo}
+        kth: dict = {}
+        for _ in range(32):
+            topk = run_pass(radii)
+            counts = {
+                row["query_id"]: (row["n"], row["dk"])
+                for row in topk.groupBy("query_id")
+                .agg(F.count("*").alias("n"), F.max("dist_sq").alias("dk"))
+                .collect()
+            }
+            under = {qid for qid in qinfo
+                     if counts.get(qid, (0, None))[0] < min(k, total)}
+            if not under:
+                kth = {qid: counts[qid][1] for qid in qinfo}
+                break
+            for qid in under:
+                radii[qid] *= 2
+        else:  # pragma: no cover
+            raise RuntimeError("knn radius growth did not converge")
+
+        # pass B: exact — every point within sqrt(d_k) is inside the disk
+        safe = {
+            qid: max(radii[qid], int(math.ceil(math.sqrt(kth[qid]) / step_deg)) + 1)
+            for qid in qinfo
+        }
+        return run_pass(safe).select("query_id", "rank", id_col, "dist_sq")
+    finally:
+        pts.unpersist()
+
+
+def knn_bruteforce(points: DataFrame, queries, k: int,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Reference implementation: broadcast cross join + window top-k.
+    O(|P| * |Q|) but fully distributed — the baseline the cell-ring
+    variant is differentially tested against."""
+    spark = points.sparkSession
+    qdf = spark.createDataFrame(list(queries), "query_id long, qlon double, qlat double")
+    cand = points.crossJoin(F.broadcast(qdf))
+    dist = (
+        (F.col("lon") - F.col("qlon")) ** 2 + (F.col("lat") - F.col("qlat")) ** 2
+    ).alias("dist_sq")
+    w = Window.partitionBy("query_id").orderBy("dist_sq", id_col)
+    return (
+        cand.select("query_id", id_col, dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "dist_sq")
+    )

@@ -1,0 +1,175 @@
+"""End-to-end tile pipeline (the Spark form of atlas.Map.Encode +
+`tegola cache seed` — SURVEY.md §3.1-3.2).
+
+Plan shape (one wide exchange; everything else map-side):
+
+  pages --geocode(UDF)--> points --tile fan-out (column exprs)-->
+                                        \\
+  polygon layers --bbox fan-out-------- union --repartition(z,x,y,layer)
+        --> applyInPandas(encode layer: reproject -> [simplify] ->
+            quantize -> clip -> MVT encode)  [one Arrow round-trip]
+        --> groupBy(z,x,y) assemble tile (binary concat, layer order)
+
+Stage-fusion decision (SURVEY.md §4 R5): the entire per-feature
+geometry chain runs inside ONE grouped-map UDF — Catalyst cannot fuse
+across Python UDF boundaries, so we fuse manually, paying exactly one
+Arrow serialization round-trip per feature. The per-(tile, layer)
+group is the natural unit because the MVT tag dictionaries and the
+delta cursor are tile-layer-scoped.
+
+Skew: the grouped encode shuffles on (z, x, y, layer). Hot tiles
+(continent polygons + dense page cells) are bounded by
+``max_features_per_tile`` — a deterministic per-(tile, layer) cap
+(rank by feature_id) applied BEFORE the shuffle with the same window
+the encode would use; the drop count is carried in the metrics output.
+The reference only warns at 500 KB (server/handle_map_layer_zxy.go:229-238);
+we meter + optionally cap.
+
+Per-partition lineage/metrics (north rule): each encoded (z,x,y,layer)
+row carries feature count, byte size, dropped-feature count and encode
+wall time — the Spark analog of tegola's per-(map, layer, z) Prometheus
+histograms (provider/postgis/postgis.go:110-138).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import grid, mercator, wkb
+from ..operators import geometry as geo
+from ..operators import mvt, tiling
+from ..sources import corpus, layers
+
+ENCODE_SCHEMA = (
+    "z int, x long, y long, layer string, layer_bytes binary, "
+    "n_features long, n_dropped long, bytes long, encode_ms double"
+)
+
+
+def _ellipsoidal(arr: np.ndarray) -> np.ndarray:
+    out = np.empty_like(arr)
+    out[:, 0] = mercator.lon_to_x(arr[:, 0])
+    out[:, 1] = mercator.lat_to_y(arr[:, 1])
+    return out
+
+
+def encode_layer_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: all features of one (z, x, y, layer) ->
+    one MVT layer blob (already wrapped as a Tile.layers field so tile
+    assembly is pure byte concatenation, mirroring the reference's
+    ST_AsMVT `||` concat — provider/postgis/postgis.go:398-400)."""
+    t0 = time.perf_counter()
+    z = int(pdf["z"].iloc[0])
+    x = int(pdf["x"].iloc[0])
+    y = int(pdf["y"].iloc[0])
+    layer = pdf["layer"].iloc[0]
+    ext = tuple(float(v) for v in grid.tile_extent_3857(z, x, y))
+    clip_region = grid.buffered_pixel_bounds()
+
+    pdf = pdf.sort_values("feature_id", kind="mergesort")  # O1 determinism
+    feats = []
+    n_in = len(pdf)
+    for fid, gwkb, tags in zip(pdf["feature_id"], pdf["geom"], pdf["tags"]):
+        g = wkb.decode(bytes(gwkb))
+        g = wkb.map_coords(g, _ellipsoidal)          # P8 (ellipsoidal!)
+        # simplify: parity default OFF (atlas/atlas.go:19-33) — see
+        # geometry.simplify_geometry for the exact ported kernel
+        g = mvt.prepare_geo(g, ext)                  # P9 quantize
+        if g is None:
+            continue
+        g = geo.clean_geometry(g, clip_region)       # G2/G3 clip
+        if g is None:
+            continue
+        feats.append({"id": int(fid), "tags": dict(tags) if tags is not None else {},
+                      "geom": g})
+    body = mvt.encode_layer(layer, feats)
+    blob = mvt.encode_tile([body])  # wrap as field-3 record
+    ms = (time.perf_counter() - t0) * 1000.0
+    return pd.DataFrame([{
+        "z": z, "x": x, "y": y, "layer": layer, "layer_bytes": blob,
+        "n_features": len(feats), "n_dropped": n_in - len(feats),
+        "bytes": len(blob), "encode_ms": ms,
+    }])
+
+
+def point_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages -> geocoded point features (layer 'pages')."""
+    pts = corpus.geocoded_pages(corpus.pages(spark, sf_dir))
+
+    @F.pandas_udf("binary")
+    def pt_wkb(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(wkb.encode_points_vectorized(lon.to_numpy(), lat.to_numpy()))
+
+    return pts.select(
+        F.col("doc_id").alias("feature_id"),
+        F.lit("pages").alias("layer"),
+        "lon", "lat",
+        pt_wkb("lon", "lat").alias("geom"),
+        F.create_map(
+            F.lit("url"), F.col("url"), F.lit("lang"), F.col("lang"),
+        ).alias("tags"),
+    )
+
+
+def polygon_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = layers.nation_layer(spark, sf_dir)
+    reg = layers.region_layer(spark, sf_dir)
+    both = nat.unionByName(reg)
+    return both.select(
+        "feature_id", "layer", "minx", "miny", "maxx", "maxy", "geom",
+        F.create_map(F.lit("name"), F.col("name")).alias("tags"),
+    )
+
+
+def build_tiles(spark: SparkSession, sf_dir: str, zooms,
+                max_features_per_tile: int | None = None,
+                with_polygons: bool = True) -> tuple[DataFrame, DataFrame]:
+    """Returns (layer_metrics_df, tiles_df).
+
+    layer_metrics_df: one row per (z,x,y,layer) with blob + lineage.
+    tiles_df: one row per (z,x,y) with the assembled MVT tile bytes.
+    """
+    pts = tiling.assign_point_tiles(point_features(spark, sf_dir), zooms)
+    pts = pts.select("z", "x", "y", "layer", "feature_id", "geom", "tags")
+    feats = pts
+    if with_polygons:
+        # zoom pruning from the layer catalog (P4) — regions capped at z<=6
+        cat = {r["layer"]: (r["min_zoom"], r["max_zoom"])
+               for r in layers.layer_catalog(spark).collect()}
+        polys = tiling.assign_bbox_tiles(polygon_features(spark, sf_dir), zooms)
+        cond = None
+        for name, (lo, hi) in cat.items():
+            c = (F.col("layer") == name) & (F.col("z") >= lo) & (F.col("z") <= hi)
+            cond = c if cond is None else (cond | c)
+        polys = polys.where(cond).select(
+            "z", "x", "y", "layer", "feature_id", "geom", "tags")
+        feats = feats.unionByName(polys)
+
+    if max_features_per_tile:
+        w = Window.partitionBy("z", "x", "y", "layer").orderBy("feature_id")
+        feats = (
+            feats.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= max_features_per_tile).drop("_rk")
+        )
+
+    metrics = feats.groupBy("z", "x", "y", "layer").applyInPandas(
+        encode_layer_group, ENCODE_SCHEMA)
+
+    # tile assembly: byte concat in deterministic layer-name order
+    tiles = (
+        metrics.groupBy("z", "x", "y")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(layer, "
+                "layer_bytes))), s -> s.layer_bytes), X'', (acc, b) -> acc || b)"
+            ).alias("tile_bytes"),
+            F.sum("n_features").alias("n_features"),
+            F.count("*").alias("n_layers"),
+        )
+        .withColumn("tile_len", F.length("tile_bytes"))
+    )
+    return metrics, tiles

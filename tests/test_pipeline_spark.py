@@ -1,0 +1,115 @@
+"""End-to-end tile pipeline tests: fan-out, encode, assembly, decode."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tegola_spark.functions import grid
+from tegola_spark.operators import mvt, tiling
+from tegola_spark.plans import pipeline
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir):
+    metrics, tiles = pipeline.build_tiles(spark, sf_dir, zooms=[0, 1, 2])
+    metrics.cache()
+    tiles.cache()
+    metrics.count()
+    tiles.count()
+    yield metrics, tiles
+    metrics.unpersist()
+    tiles.unpersist()
+
+
+def test_z0_has_all_points(built, spark, sf_dir):
+    metrics, _ = built
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    z0 = metrics.where("z = 0 AND layer = 'pages'").collect()
+    assert len(z0) == 1
+    assert z0[0]["n_features"] == n_docs
+    assert z0[0]["n_dropped"] == 0
+
+
+def test_buffered_duplication_at_z2(built, spark, sf_dir):
+    metrics, _ = built
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    total = (
+        metrics.where("z = 2 AND layer = 'pages'")
+        .agg(F.sum("n_features")).first()[0]
+    )
+    # every point lands in >= 1 tile; edge points duplicate
+    assert total >= n_docs
+    assert total <= n_docs * 4  # a point fits at most 4 buffered tiles
+
+
+def test_region_layer_zoom_pruned(built):
+    metrics, _ = built
+    # regions valid z0..6 -> present at z<=2 here
+    assert metrics.where("layer = 'regions'").count() > 0
+    # nations present too
+    assert metrics.where("layer = 'nations'").count() > 0
+
+
+def test_tile_assembly_and_decode(built):
+    _, tiles = built
+    row = tiles.where("z = 0").first()
+    assert row is not None
+    decoded = mvt.decode_tile(bytes(row["tile_bytes"]))
+    assert "pages" in decoded
+    assert "nations" in decoded
+    assert "regions" in decoded
+    pages = decoded["pages"]
+    assert pages["version"] == 2
+    assert pages["extent"] == 4096
+    assert len(pages["features"]) == row["n_features"] - sum(
+        len(decoded[l]["features"]) for l in ("nations", "regions"))
+    # tag dictionary sane
+    assert "url" in pages["keys"]
+    ft = pages["features"][0]
+    assert ft["type"] == mvt.GEOM_POINT
+
+
+def test_z0_nations_geometry_roundtrip(built):
+    """Decode the z0 nations layer and verify each polygon's pixel bbox
+    matches the expected quantized rectangle (within truncation)."""
+    _, tiles = built
+    row = tiles.where("z = 0").first()
+    decoded = mvt.decode_tile(bytes(row["tile_bytes"]))
+    nations = decoded["nations"]
+    assert len(nations["features"]) == 25
+    ext = grid.tile_extent_3857(0, 0, 0)
+    for ft in nations["features"]:
+        ops = mvt.decode_geometry_commands(ft["geometry"])
+        pts = [p for kind, ps in ops if ps for p in ps]
+        arr = np.array(pts, dtype=float)
+        # all within buffered pixel bounds
+        assert arr[:, 0].min() >= -64 - 1 and arr[:, 0].max() <= 4160 + 1
+        assert arr[:, 1].min() >= -64 - 1 and arr[:, 1].max() <= 4160 + 1
+        # winding: first ring clockwise y-down
+        ring = []
+        for kind, ps in ops:
+            if kind == "close":
+                break
+            ring.extend(ps)
+        assert mvt.winding(np.array(ring, dtype=float), True) == mvt.CLOCKWISE
+
+
+def test_metrics_lineage_columns(built):
+    metrics, _ = built
+    cols = set(metrics.columns)
+    assert {"z", "x", "y", "layer", "n_features", "n_dropped",
+            "bytes", "encode_ms"} <= cols
+    assert metrics.where("bytes <= 0").count() == 0
+
+
+def test_feature_cap(spark, sf_dir):
+    metrics, _ = pipeline.build_tiles(spark, sf_dir, zooms=[0],
+                                      max_features_per_tile=10,
+                                      with_polygons=False)
+    row = metrics.where("layer = 'pages'").first()
+    assert row["n_features"] <= 10
+
+
+def test_tile_list():
+    df_rows = grid.tiles_for_bounds(-180, -85.0511, 180, 85.0511, [2])
+    assert len(df_rows) == 16
