@@ -1,38 +1,572 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the tegola_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship: full geocode -> spatial join -> tile fan-out ->
+               MVT encode pipeline at sf0.001.
+``queries``  — one entry per implemented operator family (SURVEY.md §2
+               + the training-data operators).
+``oracle_sql`` — DuckDB-dialect ANSI SQL equivalents over the
+               pre-registered testdata views. Non-SQL-expressible ops
+               (MVT bytes, LSH/minhash candidates, multimodal stubs)
+               intentionally have no oracle -> rows-only check.
+
+Float-parity design notes: every oracle-checked expression uses either
+pure integer arithmetic, exact small-rational doubles, or sequential
+double accumulation that was verified bit-identical between Spark and
+DuckDB (see tests/test_entry_contract.py which runs the same compare
+the driver does).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# geocode formulas shared with tegola_spark.sources.corpus
+LON_SQL = "((doc_id * 7919) % 360000) / 1000.0 - 180.0 + 0.0005"
+LAT_SQL = "((doc_id * 104729) % 170000) / 1000.0 - 85.0 + 0.0005"
+
+# slippy tile assignment with clamp + 1e-6 nudge (tile.go:110-115;
+# vendor/.../slippy/maths.go:19-135) — dialect-portable SQL
+def _tile_x_sql(lon: str, z: int) -> str:
+    n = 1 << z
+    return (
+        f"CASE WHEN {lon} <= -180.0 THEN 0 WHEN {lon} >= 180.0 THEN {n - 1} "
+        f"ELSE CAST(trunc(((180.0 + {lon}) / 360.0 * {256.0 * n} + 0.000001) / 256.0) AS BIGINT) END"
+    )
+
+
+def _tile_y_sql(lat: str, z: int) -> str:
+    n = 1 << z
+    return (
+        f"CASE WHEN {lat} < -85.05112 THEN {n - 1} WHEN {lat} > 85.05112 THEN 0 "
+        f"ELSE CAST(trunc((((180.0 - (ln(tan((45.0 + {lat} / 2.0) * pi() / 180.0)) "
+        f"* 180.0 / pi())) / 360.0) * {256.0 * n} + 0.000001) / 256.0) AS BIGINT) END"
+    )
+
+
+NATION_RECT_SQL = (
+    "SELECT CAST(n_nationkey AS BIGINT) AS feature_id, "
+    "CAST((n_nationkey * 37) % 340 - 170 AS DOUBLE) AS minx, "
+    "CAST((n_nationkey * 23) % 160 - 80 AS DOUBLE) AS miny, "
+    "CAST((n_nationkey * 37) % 340 - 170 + 6 + n_nationkey % 7 AS DOUBLE) AS maxx, "
+    "CAST((n_nationkey * 23) % 160 - 80 + 4 + n_nationkey % 5 AS DOUBLE) AS maxy "
+    "FROM nation"
+)
+REGION_RECT_SQL = (
+    "SELECT CAST(r_regionkey AS BIGINT) AS feature_id, "
+    "CAST(r_regionkey * 72 - 180 AS DOUBLE) AS minx, "
+    "CAST((r_regionkey * 13) % 20 - 70 AS DOUBLE) AS miny, "
+    "CAST(r_regionkey * 72 - 180 + 72 AS DOUBLE) AS maxx, "
+    "CAST((r_regionkey * 13) % 20 - 70 + 100 AS DOUBLE) AS maxy "
+    "FROM region"
+)
+GEO_POINTS_SQL = (
+    f"SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat, lang FROM documents"
+)
+
+KNN_QUERIES = [(0, 12.5, 48.1), (1, -73.9, 40.7), (2, 139.7, 35.6),
+               (3, -0.1, 51.5), (4, 151.2, -33.8)]
+SIM_QUERY_IDS = list(range(10))
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tegola_spark.sources import corpus
+
+    return corpus.documents(spark, sf_dir).select(
+        "doc_id",
+        corpus.col_lon(F.col("doc_id")).alias("lon"),
+        corpus.col_lat(F.col("doc_id")).alias("lat"),
+        "lang",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_tile_assign(spark, sf_dir):
+    from tegola_spark.functions import cells, grid
+
+    pts = _points(spark, sf_dir)
+    return pts.select(
+        "doc_id", "lon", "lat",
+        grid.col_lon2num(F.col("lon"), 8).alias("tile_x"),
+        grid.col_lat2num(F.col("lat"), 8).alias("tile_y"),
+        cells.col_cell_from_lonlat(F.col("lon"), F.col("lat"), 12).alias("cell12"),
+    )
+
+
+def q_tile_extent(spark, sf_dir):
+    from tegola_spark.functions import grid
+
+    tiles = spark.sql(
+        "SELECT z, x, y FROM (SELECT explode(sequence(0, 3)) AS z) "
+        "LATERAL VIEW explode(sequence(0, cast(pow(2, z) AS INT) - 1)) t1 AS x "
+        "LATERAL VIEW explode(sequence(0, cast(pow(2, z) AS INT) - 1)) t2 AS y"
+    )
+    minx, miny, maxx, maxy = grid.col_tile_extent(
+        F.col("z").cast("double"), F.col("x"), F.col("y"))
+    return tiles.select(
+        F.col("z").cast("int").alias("z"),
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        minx.alias("minx"), miny.alias("miny"),
+        maxx.alias("maxx"), maxy.alias("maxy"),
+    )
+
+
+def q_cell_rollup(spark, sf_dir):
+    from tegola_spark.functions import cells
+
+    pts = _points(spark, sf_dir)
+    out = pts.select(
+        cells.col_cell_from_lonlat(F.col("lon"), F.col("lat"), 12).alias("cell12"))
+    return (
+        out.withColumn("cell5", cells.col_cell_parent(F.col("cell12"), 7))
+        .groupBy("cell5")
+        .agg(F.count("*").alias("n_docs"), F.count_distinct("cell12").alias("n_cells12"))
+    )
+
+
+def q_bbox_filter(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    box = (F.col("lon") >= -30.0) & (F.col("lon") <= 60.0) & \
+          (F.col("lat") >= -20.0) & (F.col("lat") <= 45.0)
+    return (
+        pts.where(box).groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+    )
+
+
+def q_zoom_prune(spark, sf_dir):
+    from tegola_spark.sources import layers
+
+    cat = layers.layer_catalog(spark)
+    zs = spark.sql("SELECT explode(sequence(0, 8)) AS z")
+    return (
+        cat.crossJoin(zs)
+        .where((F.col("z") >= F.col("min_zoom")) & (F.col("z") <= F.col("max_zoom")))
+        .select("z", "layer")
+    )
+
+
+def q_spatial_join_nations(spark, sf_dir):
+    from tegola_spark.operators import spatial_join as sj
+    from tegola_spark.sources import layers
+
+    got = sj.spatial_join(_points(spark, sf_dir), layers.nation_layer(spark, sf_dir), res=6)
+    return got.select("doc_id", "feature_id")
+
+
+def q_spatial_join_regions(spark, sf_dir):
+    from tegola_spark.operators import spatial_join as sj
+    from tegola_spark.sources import layers
+
+    got = sj.spatial_join(_points(spark, sf_dir), layers.region_layer(spark, sf_dir), res=2)
+    return got.groupBy("feature_id").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc"))
+
+
+def q_tile_fanout_buffered(spark, sf_dir):
+    from tegola_spark.operators import tiling
+
+    pts = _points(spark, sf_dir)
+    out = tiling.assign_point_tiles(pts, [4])
+    return out.select("doc_id", F.col("x").alias("tile_x"), F.col("y").alias("tile_y"))
+
+
+def q_knn_cellring(spark, sf_dir):
+    from tegola_spark.operators import spatial_join as sj
+
+    return sj.knn_cell_ring(_points(spark, sf_dir), KNN_QUERIES, k=5)
+
+
+def q_knn_brute(spark, sf_dir):
+    from tegola_spark.operators import spatial_join as sj
+
+    return sj.knn_bruteforce(_points(spark, sf_dir), KNN_QUERIES, k=5)
+
+
+def q_mvt_tiles(spark, sf_dir):
+    from tegola_spark.plans import pipeline
+
+    _, tiles = pipeline.build_tiles(spark, sf_dir, zooms=[0, 1, 2])
+    return tiles.select(
+        "z", "x", "y", "n_layers", "n_features", "tile_len",
+        F.md5("tile_bytes").alias("tile_md5"))
+
+
+def q_mvt_layer_metrics(spark, sf_dir):
+    from tegola_spark.plans import pipeline
+
+    metrics, _ = pipeline.build_tiles(spark, sf_dir, zooms=[0, 1, 2])
+    return metrics.select("z", "x", "y", "layer", "n_features", "n_dropped", "bytes")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from tegola_spark.operators import dedup
+    from tegola_spark.sources import corpus
+
+    return dedup.exact_dedup(corpus.documents(spark, sf_dir))
+
+
+def q_dedup_norm(spark, sf_dir):
+    from tegola_spark.operators import dedup
+    from tegola_spark.sources import corpus
+
+    return dedup.normalized_dedup(corpus.documents(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    from tegola_spark.operators import textstats
+    from tegola_spark.sources import corpus
+
+    doc = corpus.documents(spark, sf_dir)
+    toks = doc.select("lang", textstats.col_token_count(F.col("text")).alias("n"))
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.round(F.avg("n"), 6).alias("avg_tokens"),
+        F.max("n").alias("max_tokens"),
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    from tegola_spark.operators import textstats
+    from tegola_spark.sources import corpus
+
+    doc = corpus.documents(spark, sf_dir).limit(0).unionByName(
+        corpus.documents(spark, sf_dir))  # stable plan
+    out = textstats.quality_columns(doc)
+    return out.select(
+        "doc_id", "n_chars_calc", "n_tokens",
+        F.round("alpha_ratio", 9).alias("alpha_r"),
+        F.round("digit_ratio", 9).alias("digit_r"),
+        F.round("upper_ratio", 9).alias("upper_r"),
+        F.round("space_ratio", 9).alias("space_r"),
+        F.round("avg_token_len", 9).alias("avg_tok_len"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from tegola_spark.operators import textstats
+    from tegola_spark.sources import corpus
+
+    doc = corpus.documents(spark, sf_dir)
+    return doc.select(
+        "doc_id", "lang",
+        textstats.col_lang_pred(F.col("text")).alias("lang_pred"))
+
+
+def q_fingerprints(spark, sf_dir):
+    from tegola_spark.operators import textstats
+    from tegola_spark.sources import corpus
+
+    return textstats.fingerprint_columns(corpus.documents(spark, sf_dir)) \
+        .select("doc_id", "fp_exact", "fp_norm")
+
+
+def q_similarity_topk(spark, sf_dir):
+    from tegola_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.brute_force_topk(emb, SIM_QUERY_IDS, k=5)
+
+
+def q_embedding_norms(spark, sf_dir):
+    from tegola_spark.operators import similarity
+
+    emb = similarity.with_norm(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("_norm"), 6).alias("avg_norm"))
+
+
+def q_similarity_ann(spark, sf_dir):
+    from tegola_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = emb.select(F.size("embedding")).first()[0]
+    return similarity.lsh_ann_topk(emb, SIM_QUERY_IDS, k=5, dim=dim,
+                                   n_planes=8, multiprobe=2)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from tegola_spark.operators import dedup
+    from tegola_spark.sources import corpus
+
+    return dedup.minhash_lsh_pairs(corpus.documents(spark, sf_dir), threshold=0.4)
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    from tegola_spark.operators import dedup
+    from tegola_spark.sources import corpus
+
+    return dedup.simhash_fingerprints(corpus.documents(spark, sf_dir))
+
+
+def q_multimodal_decode(spark, sf_dir):
+    from tegola_spark.operators import multimodal
+    from tegola_spark.sources import corpus
+
+    media = multimodal.media_from_pages(corpus.pages(spark, sf_dir))
+    out = multimodal.decode_media(media)
+    return out.select("doc_id", "media_type", "payload_len", "width",
+                      "height", "n_frames")
+
+
+def q_extract_parity(spark, sf_dir):
+    """The input_hint invariant as a query: per-url md5 of extracted
+    text — the oracle computes md5(text) from the documents view, so a
+    single byte of extraction drift fails the value hash."""
+    from tegola_spark.sources import corpus
+
+    pages = corpus.pages(spark, sf_dir)
+    return pages.select(
+        "url", F.md5(corpus.extract_text("html").cast("binary")).alias("text_md5"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline at sf0.001 -> per-tile summary rows."""
+    from tegola_spark.plans import pipeline
+
+    _, tiles = pipeline.build_tiles(spark, "/root/testdata/sf0.001", zooms=[0, 1, 2])
+    return tiles.select("z", "x", "y", "n_layers", "n_features", "tile_len")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tile_assign": q_tile_assign,
+        "tile_extent": q_tile_extent,
+        "cell_rollup": q_cell_rollup,
+        "bbox_filter": q_bbox_filter,
+        "zoom_prune": q_zoom_prune,
+        "spatial_join_nations": q_spatial_join_nations,
+        "spatial_join_regions": q_spatial_join_regions,
+        "tile_fanout_buffered": q_tile_fanout_buffered,
+        "knn_cellring": q_knn_cellring,
+        "knn_brute": q_knn_brute,
+        "mvt_tiles": q_mvt_tiles,
+        "mvt_layer_metrics": q_mvt_layer_metrics,
+        "dedup_exact": q_dedup_exact,
+        "dedup_norm": q_dedup_norm,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "similarity_topk": q_similarity_topk,
+        "embedding_norms": q_embedding_norms,
+        "similarity_ann": q_similarity_ann,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "multimodal_decode": q_multimodal_decode,
+        "extract_parity": q_extract_parity,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_LANG_SCORE_SQL = {
+    "en": "((length(p) - length(replace(p, ' the ', ''))) / 5.0 + (length(p) - length(replace(p, ' and ', ''))) / 5.0 + (length(p) - length(replace(p, ' of ', ''))) / 4.0)",
+    "de": "((length(p) - length(replace(p, ' der ', ''))) / 5.0 + (length(p) - length(replace(p, ' und ', ''))) / 5.0 + (length(p) - length(replace(p, ' die ', ''))) / 5.0)",
+    "fr": "((length(p) - length(replace(p, ' le ', ''))) / 4.0 + (length(p) - length(replace(p, ' la ', ''))) / 4.0 + (length(p) - length(replace(p, ' et ', ''))) / 4.0)",
+    "es": "((length(p) - length(replace(p, ' el ', ''))) / 4.0 + (length(p) - length(replace(p, ' que ', ''))) / 5.0 + (length(p) - length(replace(p, ' los ', ''))) / 5.0)",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    tile_x8 = _tile_x_sql("lon", 8)
+    tile_y8 = _tile_y_sql("lat", 8)
+    tile_x12 = _tile_x_sql("lon", 12)
+    tile_y12 = _tile_y_sql("lat", 12)
+
+    # tokens: empty/blank text -> 0
+    tok = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+           "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+
+    s = _LANG_SCORE_SQL
+    lang_pred = (
+        f"CASE "
+        f"WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+        f"WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de' "
+        f"WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr' "
+        f"WHEN s_es > 0 THEN 'es' ELSE 'und' END"
+    )
+
+    dot = ("list_aggregate(list_transform(list_zip(a.embedding, b.embedding), "
+           "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')")
+    norm = ("sqrt(list_aggregate(list_transform({t}.embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))")
+
+    return {
+        "tile_assign": f"""
+            SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat,
+                   {tile_x8} AS tile_x, {tile_y8} AS tile_y,
+                   12 * 4503599627370496 + ({tile_x12}) * 67108864 + ({tile_y12}) AS cell12
+            FROM (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents)
+        """,
+        "tile_extent": """
+            SELECT CAST(z AS INTEGER) AS z, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+                   -20037508.34 + x * (20037508.34 * 2 / pow(2, z)) AS minx,
+                   20037508.34 - y * (20037508.34 * 2 / pow(2, z)) - (20037508.34 * 2 / pow(2, z)) AS miny,
+                   -20037508.34 + x * (20037508.34 * 2 / pow(2, z)) + (20037508.34 * 2 / pow(2, z)) AS maxx,
+                   20037508.34 - y * (20037508.34 * 2 / pow(2, z)) AS maxy
+            FROM generate_series(0, 3) t(z),
+                 generate_series(0, 7) tx(x),
+                 generate_series(0, 7) ty(y)
+            WHERE x < CAST(pow(2, z) AS BIGINT) AND y < CAST(pow(2, z) AS BIGINT)
+        """,
+        "cell_rollup": f"""
+            WITH c AS (
+              SELECT 12 * 4503599627370496 + ({tile_x12}) * 67108864 + ({tile_y12}) AS cell12
+              FROM (SELECT {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents)
+            )
+            SELECT (12 - 7) * 4503599627370496
+                   + (((cell12 // 67108864) % 67108864) // 128) * 67108864
+                   + ((cell12 % 67108864) // 128) AS cell5,
+                   COUNT(*) AS n_docs, COUNT(DISTINCT cell12) AS n_cells12
+            FROM c GROUP BY 1
+        """,
+        "bbox_filter": f"""
+            SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+            FROM ({GEO_POINTS_SQL})
+            WHERE lon >= -30.0 AND lon <= 60.0 AND lat >= -20.0 AND lat <= 45.0
+            GROUP BY lang
+        """,
+        "zoom_prune": """
+            WITH cat(layer, min_zoom, max_zoom) AS (
+              VALUES ('pages', 0, 22), ('nations', 0, 22), ('regions', 0, 6))
+            SELECT CAST(z AS INTEGER) AS z, layer
+            FROM cat, generate_series(0, 8) t(z)
+            WHERE z >= min_zoom AND z <= max_zoom
+        """,
+        "spatial_join_nations": f"""
+            SELECT p.doc_id, n.feature_id
+            FROM ({GEO_POINTS_SQL}) p JOIN ({NATION_RECT_SQL}) n
+              ON p.lon >= n.minx AND p.lon <= n.maxx
+             AND p.lat >= n.miny AND p.lat <= n.maxy
+        """,
+        "spatial_join_regions": f"""
+            SELECT r.feature_id, COUNT(*) AS n_docs, MIN(p.doc_id) AS min_doc
+            FROM ({GEO_POINTS_SQL}) p JOIN ({REGION_RECT_SQL}) r
+              ON p.lon >= r.minx AND p.lon <= r.maxx
+             AND p.lat >= r.miny AND p.lat <= r.maxy
+            GROUP BY r.feature_id
+        """,
+        "tile_fanout_buffered": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     (lon + 180.0) / 360.0 * 16 AS wx,
+                     (0.5 - ln(tan(pi() / 4.0 + lat * pi() / 180.0 / 2.0)) / (2 * pi())) * 16 AS wy
+              FROM ({GEO_POINTS_SQL})
+            )
+            SELECT doc_id, x AS tile_x, y AS tile_y
+            FROM p, generate_series(0, 15) tx(x), generate_series(0, 15) ty(y)
+            WHERE wx >= x - 0.015625 AND wx <= x + 1 + 0.015625
+              AND wy >= y - 0.015625 AND wy <= y + 1 + 0.015625
+              AND CAST(floor(wx) AS BIGINT) - x BETWEEN -1 AND 1
+              AND CAST(floor(wy) AS BIGINT) - y BETWEEN -1 AND 1
+        """,
+        "knn_cellring": _knn_oracle(),
+        "knn_brute": _knn_oracle(),
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "dedup_norm": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS text_hash,
+                   MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "token_stats": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM({tok}) AS total_tokens,
+                   ROUND(AVG({tok}), 6) AS avg_tokens,
+                   MAX({tok}) AS max_tokens
+            FROM documents GROUP BY lang
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_calc,
+                   CAST({tok} AS BIGINT) AS n_tokens,
+                   ROUND((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                     / (CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END * 1.0), 9) AS alpha_r,
+                   ROUND((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                     / (CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END * 1.0), 9) AS digit_r,
+                   ROUND((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                     / (CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END * 1.0), 9) AS upper_r,
+                   ROUND((length(text) - length(regexp_replace(text, '[ \t\n]', '', 'g')))
+                     / (CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END * 1.0), 9) AS space_r,
+                   ROUND(length(regexp_replace(text, '\\s+', '', 'g'))
+                     / (CASE WHEN {tok} = 0 THEN 1 ELSE {tok} END * 1.0), 9) AS avg_tok_len
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH padded AS (
+              SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents
+            ), scores AS (
+              SELECT doc_id, lang,
+                     {s['en']} AS s_en, {s['de']} AS s_de,
+                     {s['fr']} AS s_fr, {s['es']} AS s_es
+              FROM padded
+            )
+            SELECT doc_id, lang, {lang_pred} AS lang_pred FROM scores
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(text) AS fp_exact,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_norm
+            FROM documents
+        """,
+        "similarity_topk": f"""
+            WITH q AS (SELECT * FROM embeddings WHERE vec_id IN ({','.join(map(str, SIM_QUERY_IDS))})),
+            scored AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     {dot} / ({norm.format(t='a')} * {norm.format(t='b')}) AS score
+              FROM q a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, score,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+                   ROUND(score, 6) AS score_r6
+            FROM ranked WHERE rank <= 5
+        """,
+        "embedding_norms": f"""
+            SELECT label, COUNT(*) AS n,
+                   ROUND(AVG({norm.format(t='embeddings')}), 6) AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+        "extract_parity": """
+            SELECT 'https://' || source || '.example.com/' || lang || '/' || doc_id AS url,
+                   md5(text) AS text_md5
+            FROM documents
+        """,
+        # mvt_tiles / mvt_layer_metrics / similarity_ann / minhash_pairs /
+        # simhash_fingerprints / multimodal_decode: no SQL equivalent
+        # (binary encode, python-hash LSH, stub decode) -> rows-only.
+    }
+
+
+def _knn_oracle() -> str:
+    qvals = ", ".join(f"({qid}, {qx}, {qy})" for qid, qx, qy in KNN_QUERIES)
+    return f"""
+        WITH q(query_id, qlon, qlat) AS (VALUES {qvals}),
+        scored AS (
+          SELECT q.query_id, p.doc_id,
+                 (p.lon - q.qlon) * (p.lon - q.qlon)
+                 + (p.lat - q.qlat) * (p.lat - q.qlat) AS dist_sq
+          FROM ({GEO_POINTS_SQL}) p, q
+        ), ranked AS (
+          SELECT query_id, doc_id, dist_sq,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist_sq, doc_id) AS rank
+          FROM scored
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INTEGER) AS rank,
+               doc_id, dist_sq
+        FROM ranked WHERE rank <= 5
     """
-    return {}

@@ -147,10 +147,9 @@ def knn_cell_ring(points: DataFrame, queries, k: int, step_deg: float = 4.0,
             qdf = spark.createDataFrame(
                 rows, "query_id long, qlon double, qlat double, _cx long, _cy long")
             cand = pts.join(F.broadcast(qdf), ["_cx", "_cy"], "inner")
-            dist = (
-                (F.col("lon") - F.col("qlon")) ** 2
-                + (F.col("lat") - F.col("qlat")) ** 2
-            ).alias("dist_sq")
+            dlon = F.col("lon") - F.col("qlon")
+            dlat = F.col("lat") - F.col("qlat")
+            dist = (dlon * dlon + dlat * dlat).alias("dist_sq")
             w = Window.partitionBy("query_id").orderBy("dist_sq", id_col)
             return (
                 cand.select("query_id", id_col, dist)
@@ -197,9 +196,9 @@ def knn_bruteforce(points: DataFrame, queries, k: int,
     spark = points.sparkSession
     qdf = spark.createDataFrame(list(queries), "query_id long, qlon double, qlat double")
     cand = points.crossJoin(F.broadcast(qdf))
-    dist = (
-        (F.col("lon") - F.col("qlon")) ** 2 + (F.col("lat") - F.col("qlat")) ** 2
-    ).alias("dist_sq")
+    dlon = F.col("lon") - F.col("qlon")
+    dlat = F.col("lat") - F.col("qlat")
+    dist = (dlon * dlon + dlat * dlat).alias("dist_sq")
     w = Window.partitionBy("query_id").orderBy("dist_sq", id_col)
     return (
         cand.select("query_id", id_col, dist)

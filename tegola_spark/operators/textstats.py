@@ -1,0 +1,97 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID, fingerprinting (training-data pipeline components).
+
+Every expression here is a PURE Catalyst column expression (JVM-side,
+whole-stage codegen — no UDF) and has a matching ANSI-SQL formulation
+used by __spark_entry__.oracle_sql, so the driver's DuckDB gate checks
+them value-for-value. ASCII character classes are used deliberately:
+unicode class semantics differ between regex engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# language marker words — counted with whitespace padding so they only
+# match whole tokens; deterministic tie-break by this ordering
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+    "es": [" el ", " que ", " los "],
+}
+
+
+def col_token_count(c):
+    """Whitespace token count; empty/blank -> 0."""
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+")))
+
+
+def _count_occurrences(c, sub: str):
+    """Number of occurrences of ``sub`` via length difference (the only
+    counting primitive with identical semantics in every SQL engine)."""
+    return (F.length(c) - F.length(F.replace(c, F.lit(sub), F.lit("")))) / F.lit(len(sub))
+
+
+def col_lang_scores(c):
+    """Marker-word counts per language over ' ' || lower(text) || ' '."""
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    return {lang: sum(_count_occurrences(padded, m) for m in markers)
+            for lang, markers in LANG_MARKERS.items()}
+
+
+def col_lang_pred(c):
+    """argmax language with deterministic tie-break (en > de > fr > es
+    order); 'und' (undetermined) when all scores are 0."""
+    scores = col_lang_scores(c)
+    langs = list(LANG_MARKERS)
+    pred = F.lit("und")
+    # build from the LAST language backward so earlier langs win ties
+    for lang in reversed(langs):
+        others_before = [scores[l] for l in langs if langs.index(l) < langs.index(lang)]
+        cond = scores[lang] > 0
+        for o in others_before:
+            cond = cond & (scores[lang] > o)
+        for l in langs[langs.index(lang) + 1:]:
+            cond = cond & (scores[lang] >= scores[l])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds: n_chars_calc, n_tokens, alpha_ratio, digit_ratio,
+    punct_ratio, space_ratio, avg_token_len, upper_ratio."""
+    c = F.col(text_col)
+    n = F.length(c)
+    safe_n = F.when(n == 0, F.lit(1)).otherwise(n).cast("double")
+
+    def ratio_of(cls: str):
+        return (n - F.length(F.regexp_replace(c, cls, ""))).cast("double") / safe_n
+
+    toks = col_token_count(c)
+    safe_toks = F.when(toks == 0, F.lit(1)).otherwise(toks).cast("double")
+    return df.withColumns({
+        "n_chars_calc": n.cast("long"),
+        "n_tokens": toks.cast("long"),
+        "alpha_ratio": ratio_of("[A-Za-z]"),
+        "digit_ratio": ratio_of("[0-9]"),
+        "punct_ratio": ratio_of(r"[.,;:!?'\"()\[\]-]"),
+        "space_ratio": ratio_of(r"[ \t\n]"),
+        "upper_ratio": ratio_of("[A-Z]"),
+        "avg_token_len": (
+            F.length(F.regexp_replace(c, r"\s+", "")).cast("double") / safe_toks),
+    })
+
+
+def fingerprint_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: exact md5 + normalized md5 (the 'rolling
+    hash' document identity used by dedup bookkeeping)."""
+    from .dedup import normalize_text_col
+
+    c = F.col(text_col)
+    return df.withColumns({
+        "fp_exact": F.md5(c.cast("binary")),
+        "fp_norm": F.md5(normalize_text_col(c).cast("binary")),
+    })

@@ -107,10 +107,11 @@ def geocode_lon(html: pd.Series) -> pd.Series:
     return s.str.extract(r'geo\.position" content="[^;]+;([^"]+)"', expand=False).astype(float)
 
 
-def pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pages(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
     """The input_hint table: (url, warc_ts, html, text, lang) + doc_id
-    kept as the parity key alongside url."""
-    doc = documents(spark, sf_dir)
+    kept as the parity key alongside url. ``docs`` overrides the
+    documents source (scaling benches pass an expanded corpus)."""
+    doc = documents(spark, sf_dir) if docs is None else docs
     base = doc.select(
         "doc_id",
         F.concat(

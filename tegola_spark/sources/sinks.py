@@ -1,0 +1,73 @@
+"""Tile sinks + resume (reference S9 cache backends, R6 read-through).
+
+tegola's cache backends (file/S3/Redis/Azure/GCS —
+cache/cache.go:18-22) store one blob per ``map/layer/z/x/y`` key; its
+seed workers skip tiles already cached (R6,
+cmd/tegola/cmd/cache/worker.go:50-77). The Spark-native form:
+
+  * sink: a parquet table of (z, x, y, tile_bytes, lineage columns)
+    written ``partitionBy("z")`` — z is the only low-cardinality
+    partition key; (x, y) stay as sort-ordered data columns (a
+    partition dir per tile would melt the filesystem at z>=10).
+    On Iceberg the same layout is the partition spec ``(z, bucket(x))``
+    plus snapshot metadata; this module keeps a JSON manifest as the
+    snapshot stand-in since Iceberg jars aren't in this image.
+  * resume: LEFT ANTI join of the tile work-list against the sink's
+    existing (z, x, y) keys — the R6 skip-if-cached, in one shuffle-free
+    broadcastable join when the done-list is small, shuffled otherwise.
+  * lineage: the per-(z,x,y,layer) metrics table rides along in a
+    ``_metrics`` subdirectory (north rule: per-partition lineage +
+    metrics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def write_tiles(tiles: DataFrame, metrics: DataFrame, path: str,
+                mode: str = "append") -> dict:
+    """Write the tile table + metrics table + a manifest entry.
+
+    Returns the manifest record (the Iceberg-snapshot stand-in)."""
+    (tiles
+     .repartition("z")
+     .sortWithinPartitions("x", "y")
+     .write.mode(mode).partitionBy("z").parquet(os.path.join(path, "tiles")))
+    (metrics
+     .write.mode(mode).partitionBy("z").parquet(os.path.join(path, "_metrics")))
+    spark = tiles.sparkSession
+    done = spark.read.parquet(os.path.join(path, "tiles"))
+    rec = {
+        "ts": time.time(),
+        "n_tiles": done.count(),
+        "zooms": [r["z"] for r in done.select("z").distinct().orderBy("z").collect()],
+    }
+    manifest = os.path.join(path, "manifest.jsonl")
+    with open(manifest, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    return rec
+
+
+def existing_keys(spark: SparkSession, path: str) -> DataFrame | None:
+    """(z, x, y) keys already in the sink, or None if the sink is empty."""
+    tiles_path = os.path.join(path, "tiles")
+    try:
+        return spark.read.parquet(tiles_path).select("z", "x", "y")
+    except Exception:
+        return None
+
+
+def remaining_work(work_list: DataFrame, spark: SparkSession, path: str,
+                   broadcast_done: bool = True) -> DataFrame:
+    """R6 resume: work-list rows whose (z, x, y) is NOT in the sink."""
+    done = existing_keys(spark, path)
+    if done is None:
+        return work_list
+    if broadcast_done:
+        done = F.broadcast(done)
+    return work_list.join(done, ["z", "x", "y"], "left_anti")

@@ -1,0 +1,44 @@
+"""Sink write + anti-join resume semantics (R6 / checkpoint)."""
+
+import os
+
+import pytest
+
+from tegola_spark.sources import sinks
+from tegola_spark.streaming import checkpoint
+
+
+def test_seed_and_resume(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "sink")
+    recs = checkpoint.seed_tiles(spark, sf_dir, out, zooms=[0, 1])
+    assert recs
+    done = sinks.existing_keys(spark, out)
+    n1 = done.count()
+    assert n1 == 5  # 1 + 4 world tiles
+
+    # resume with a superset of zooms: only z2 is new work
+    recs2 = checkpoint.seed_tiles(spark, sf_dir, out, zooms=[0, 1, 2], batch_zooms=3)
+    done2 = sinks.existing_keys(spark, out)
+    assert done2.count() == 5 + 16
+    # no duplicates
+    assert done2.distinct().count() == 21
+
+    # second resume is a no-op
+    recs3 = checkpoint.seed_tiles(spark, sf_dir, out, zooms=[0, 1, 2])
+    assert recs3 == []
+
+    # manifest recorded each write
+    manifest = os.path.join(out, "manifest.jsonl")
+    assert os.path.exists(manifest)
+    assert len(open(manifest).readlines()) == len(recs) + len(recs2)
+
+
+def test_remaining_work(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "sink2")
+    work = spark.createDataFrame(
+        [(0, 0, 0), (1, 0, 0), (1, 1, 1)], "z int, x long, y long")
+    # empty sink -> everything remains
+    assert sinks.remaining_work(work, spark, out).count() == 3
+    checkpoint.seed_tiles(spark, sf_dir, out, zooms=[0])
+    rem = sinks.remaining_work(work, spark, out).collect()
+    assert {(r["z"], r["x"], r["y"]) for r in rem} == {(1, 0, 0), (1, 1, 1)}

@@ -1,0 +1,205 @@
+"""Training-data operators: dedup, text stats, similarity, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tegola_spark.operators import dedup, multimodal, similarity, textstats
+from tegola_spark.sources import corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = corpus.documents(spark, sf_dir)
+    df.cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+# -- dedup ----------------------------------------------------------------------
+
+def test_exact_dedup_counts(spark, docs):
+    n = docs.count()
+    d = dedup.exact_dedup(docs)
+    total = d.agg(F.sum("dup_count")).first()[0]
+    assert total == n
+    assert d.count() <= n
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["same text", "same text", "other", "same text"]})
+    d = dedup.exact_dedup(spark.createDataFrame(pdf)).collect()
+    by_count = sorted([r["dup_count"] for r in d])
+    assert by_count == [1, 3]
+    keep = [r["keep_id"] for r in d if r["dup_count"] == 3]
+    assert keep == [1]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = ("the quick brown fox jumps over the lazy dog " * 20).strip()
+    near = base.replace("lazy", "sleepy", 2)
+    far = ("completely different content about spark engines " * 20).strip()
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    pairs = dedup.minhash_lsh_pairs(spark.createDataFrame(pdf), threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(p in {(1, 2)} for p in got)
+    verified = dedup.ngram_jaccard_verify(
+        dedup.minhash_lsh_pairs(spark.createDataFrame(pdf), threshold=0.5),
+        spark.createDataFrame(pdf)).collect()
+    assert verified[0]["jaccard"] > 0.8
+
+
+def test_simhash_near_pairs(spark):
+    base = "word" + " token alpha beta gamma delta" * 30
+    near = base.replace("gamma", "gamna")
+    far = "entirely unrelated text " * 40
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    pairs = dedup.simhash_near_pairs(spark.createDataFrame(pdf), max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+# -- textstats --------------------------------------------------------------------
+
+def test_token_count(spark):
+    pdf = pd.DataFrame({"text": ["a b  c", "", "   ", "one", "x\ty\nz w"]})
+    out = spark.createDataFrame(pdf).select(
+        textstats.col_token_count(F.col("text")).alias("n")).collect()
+    assert [r["n"] for r in out] == [3, 0, 0, 1, 4]
+
+
+def test_quality_ratios(spark):
+    pdf = pd.DataFrame({"text": ["Abc 123!"]})
+    out = textstats.quality_columns(spark.createDataFrame(pdf)).first()
+    assert out["n_chars_calc"] == 8
+    assert out["n_tokens"] == 2
+    assert out["alpha_ratio"] == pytest.approx(3 / 8)
+    assert out["digit_ratio"] == pytest.approx(3 / 8)
+    assert out["upper_ratio"] == pytest.approx(1 / 8)
+    assert out["punct_ratio"] == pytest.approx(1 / 8)
+    assert out["avg_token_len"] == pytest.approx(7 / 2)
+
+
+def test_lang_pred(spark):
+    pdf = pd.DataFrame({"text": [
+        "the cat and the dog of the house",
+        "der Hund und die Katze und der Vogel",
+        "le chat et la maison et le chien",
+        "el perro que los gatos el dia",
+        "zzz qqq www",
+    ]})
+    out = spark.createDataFrame(pdf).select(
+        textstats.col_lang_pred(F.col("text")).alias("lang")).collect()
+    assert [r["lang"] for r in out] == ["en", "de", "fr", "es", "und"]
+
+
+def test_fingerprints(spark):
+    pdf = pd.DataFrame({"text": ["Hello  World", "hello world"]})
+    out = textstats.fingerprint_columns(spark.createDataFrame(pdf)).collect()
+    assert out[0]["fp_exact"] != out[1]["fp_exact"]
+    assert out[0]["fp_norm"] == out[1]["fp_norm"]
+
+
+# -- similarity --------------------------------------------------------------------
+
+def test_brute_force_topk_sane(emb):
+    out = similarity.brute_force_topk(emb, [0, 1, 2], k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        scores = [r["score_r6"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+
+def test_lsh_ann_recall_planted_clusters(spark):
+    """LSH recall on CLUSTERED data (the realistic near-dup case): each
+    query's true neighbors are noisy copies of itself."""
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for c in range(40):
+        base = rng.standard_normal(32)
+        base /= np.linalg.norm(base)
+        for _ in range(5):
+            v = base + rng.standard_normal(32) * 0.01
+            rows.append((vid, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 5, 10, 15, 20]
+    exact = similarity.brute_force_topk(df, qids, k=4)
+    approx = similarity.lsh_ann_topk(df, qids, k=4, dim=32, multiprobe=2)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_lsh_ann_sanity_random_data(emb):
+    """Driver embeddings are ~random gaussians (top cosine ~0.33) — the
+    LSH worst case; assert only a loose floor with generous probing."""
+    dim = emb.select(F.size("embedding")).first()[0]
+    qids = [0, 1, 2, 3, 4, 5, 6, 7]
+    exact = similarity.brute_force_topk(emb, qids, k=5)
+    approx = similarity.lsh_ann_topk(emb, qids, k=5, dim=dim,
+                                     n_planes=6, multiprobe=2)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.3
+
+
+def test_cosine_near_dup_pairs_finds_planted(spark):
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(16).astype(np.float32)
+    near = v + rng.standard_normal(16).astype(np.float32) * 0.01
+    other = rng.standard_normal(16).astype(np.float32)
+    pdf = pd.DataFrame({
+        "vec_id": [1, 2, 3],
+        "embedding": [v.tolist(), near.tolist(), other.tolist()]})
+    out = similarity.cosine_near_dup_pairs(
+        spark.createDataFrame(pdf), threshold=0.95, dim=16).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
+# -- multimodal --------------------------------------------------------------------
+
+def test_decode_media_stub(spark, sf_dir):
+    pages = corpus.pages(spark, sf_dir).limit(50)
+    media = multimodal.media_from_pages(pages)
+    out = multimodal.decode_media(media)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["payload_len"] > 0
+        assert len(r["feature"]) == 8
+        assert r["media_type"] == "application/octet-stream"
+    # payload projected away
+    assert "payload" not in out.columns
+
+
+def test_sniff_magic():
+    assert multimodal.sniff_media_type(b"\x89PNG\r\n") == "image/png"
+    assert multimodal.sniff_media_type(b"\xff\xd8\xffdata") == "image/jpeg"
+    assert multimodal.sniff_media_type(b"RIFFxxxx") == "audio/wav"
+
+
+def test_real_decode_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"x", "image/png")
