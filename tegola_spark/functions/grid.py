@@ -161,6 +161,19 @@ def merc_y_spherical(lat):
     return SPHERICAL_R * np.log(np.tan(math.pi / 4.0 + lat * math.pi / 360.0))
 
 
+def x2deg_spherical(x):
+    """Inverse spherical mercator x -> lon (proj.Inverse path used by
+    the map-bounds check, server/handle_map_layer_zxy.go:154-182)."""
+    x = np.asarray(x, dtype=np.float64)
+    return x / SPHERICAL_R * 180.0 / math.pi
+
+
+def y2deg_spherical(y):
+    """Inverse spherical mercator y -> lat."""
+    y = np.asarray(y, dtype=np.float64)
+    return (2.0 * np.arctan(np.exp(y / SPHERICAL_R)) - math.pi / 2.0) * 180.0 / math.pi
+
+
 def tile_extent_3857(z, x, y):
     """The extent the atlas pipeline actually quantizes against
     (provider/provider.go:95-105 -> slippy.Extent -> Grid.ToNative):

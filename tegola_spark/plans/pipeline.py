@@ -44,6 +44,7 @@ from ..operators import geometry as geo
 from ..operators import mvt, tiling
 from ..sources import corpus, layers
 
+FEATURE_COLS = ["z", "x", "y", "layer", "feature_id", "geom", "tags", "srid"]
 ENCODE_SCHEMA = (
     "z int, x long, y long, layer string, layer_bytes binary, "
     "n_features long, n_dropped long, bytes long, encode_ms double"
@@ -96,9 +97,13 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
     pdf = pdf.sort_values("feature_id", kind="mergesort")  # O1 determinism
     feats = []
     n_in = len(pdf)
-    for fid, gwkb, tags in zip(pdf["feature_id"], pdf["geom"], pdf["tags"]):
+    srids = pdf["srid"] if "srid" in pdf.columns else pd.Series(4326, index=pdf.index)
+    for fid, gwkb, tags, srid in zip(pdf["feature_id"], pdf["geom"], pdf["tags"], srids):
         g = wkb.decode(bytes(gwkb))
-        g = wkb.map_coords(g, _ellipsoidal)          # P8 (ellipsoidal!)
+        if srid != 3857:
+            # P8 ellipsoidal feature reprojection (atlas/map.go:241-248);
+            # srid 3857 passes through untouched (tile.go:143-156)
+            g = wkb.map_coords(g, _ellipsoidal)
         # simplify: parity default OFF (atlas/atlas.go:19-33) — see
         # geometry.simplify_geometry for the exact ported kernel
         g = mvt.prepare_geo(g, ext)                  # P9 quantize
@@ -135,6 +140,7 @@ def point_features(spark: SparkSession, sf_dir: str, docs=None) -> DataFrame:
         F.create_map(
             F.lit("url"), F.col("url"), F.lit("lang"), F.col("lang"),
         ).alias("tags"),
+        F.lit(4326).alias("srid"),
     )
 
 
@@ -145,19 +151,84 @@ def polygon_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.select(
         "feature_id", "layer", "minx", "miny", "maxx", "maxy", "geom",
         F.create_map(F.lit("name"), F.col("name")).alias("tags"),
+        F.lit(4326).alias("srid"),
     )
+
+
+def debug_features(spark: SparkSession, zooms) -> DataFrame:
+    """S7 debug provider: per tile, the tile-outline polygon (tagged
+    debug_buffer_outline) and the center point tagged "Z:z, X:x, Y:y"
+    (provider/debug/debug.go:36-91). Generated as a DataFrame over the
+    world tile list; geometry synthesized in one Arrow batch pass."""
+    rows = grid.tiles_for_bounds(-180, -85.0511, 180, 85.0511, zooms)
+    tiles = spark.createDataFrame(rows, "z int, x long, y long")
+
+    # debug features are emitted in 3857 directly (the provider builds
+    # them from t.Extent(); srid 3857 skips reprojection — debug.go:36-60)
+    @F.pandas_udf("binary")
+    def outline(z: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        out = []
+        for zz, xx, yy in zip(z, x, y):
+            minx, miny, maxx, maxy = grid.tile_extent_3857(int(zz), int(xx), int(yy))
+            # AsPolygon vertex order (bbox.go:33-42)
+            ring = np.array([[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]])
+            out.append(wkb.encode(("Polygon", [ring])))
+        return pd.Series(out)
+
+    @F.pandas_udf("binary")
+    def center(z: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        out = []
+        for zz, xx, yy in zip(z, x, y):
+            minx, miny, maxx, maxy = grid.tile_extent_3857(int(zz), int(xx), int(yy))
+            out.append(wkb.encode(("Point", np.array([(minx + maxx) / 2.0,
+                                                      (miny + maxy) / 2.0]))))
+        return pd.Series(out)
+
+    tag = F.concat(F.lit("Z:"), F.col("z").cast("string"), F.lit(", X:"),
+                   F.col("x").cast("string"), F.lit(", Y:"), F.col("y").cast("string"))
+    out_poly = tiles.select(
+        "z", "x", "y", F.lit("debug-tile-outline").alias("layer"),
+        F.lit(0).cast("long").alias("feature_id"),
+        outline("z", "x", "y").alias("geom"),
+        F.create_map(F.lit("type"), F.lit("debug_buffer_outline")).alias("tags"),
+        F.lit(3857).alias("srid"))
+    out_ctr = tiles.select(
+        "z", "x", "y", F.lit("debug-tile-center").alias("layer"),
+        F.lit(0).cast("long").alias("feature_id"),
+        center("z", "x", "y").alias("geom"),
+        F.create_map(F.lit("type"), F.lit("debug_text"),
+                     F.lit("zxy"), tag).alias("tags"),
+        F.lit(3857).alias("srid"))
+    return out_poly.unionByName(out_ctr)
+
+
+def merge_default_tags(feats: DataFrame, default_tags: dict) -> DataFrame:
+    """P11: layer default_tags merged UNDER feature tags (no overwrite)
+    — atlas/map.go:256-261. map_concat keeps the LAST value for
+    duplicate keys in Spark, so defaults go first."""
+    if not default_tags:
+        return feats
+    kv = []
+    for k, v in default_tags.items():
+        kv.extend([F.lit(k), F.lit(v)])
+    defaults = F.create_map(*kv)
+    return feats.withColumn("tags", F.map_concat(
+        F.map_filter(defaults, lambda k, _: ~F.map_contains_key(F.col("tags"), k)),
+        F.col("tags")))
 
 
 def build_tiles(spark: SparkSession, sf_dir: str, zooms,
                 max_features_per_tile: int | None = None,
-                with_polygons: bool = True, docs=None) -> tuple[DataFrame, DataFrame]:
+                with_polygons: bool = True, docs=None,
+                with_debug: bool = False,
+                default_tags: dict | None = None) -> tuple[DataFrame, DataFrame]:
     """Returns (layer_metrics_df, tiles_df).
 
     layer_metrics_df: one row per (z,x,y,layer) with blob + lineage.
     tiles_df: one row per (z,x,y) with the assembled MVT tile bytes.
     """
     pts = tiling.assign_point_tiles(point_features(spark, sf_dir, docs=docs), zooms)
-    pts = pts.select("z", "x", "y", "layer", "feature_id", "geom", "tags")
+    pts = pts.select(*FEATURE_COLS)
     feats = pts
     if with_polygons:
         # zoom pruning from the layer catalog (P4) — regions capped at z<=6
@@ -168,9 +239,14 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
         for name, (lo, hi) in cat.items():
             c = (F.col("layer") == name) & (F.col("z") >= lo) & (F.col("z") <= hi)
             cond = c if cond is None else (cond | c)
-        polys = polys.where(cond).select(
-            "z", "x", "y", "layer", "feature_id", "geom", "tags")
+        polys = polys.where(cond).select(*FEATURE_COLS)
         feats = feats.unionByName(polys)
+
+    if with_debug:
+        feats = feats.unionByName(debug_features(spark, zooms))
+
+    if default_tags:
+        feats = merge_default_tags(feats, default_tags)
 
     if max_features_per_tile:
         w = Window.partitionBy("z", "x", "y", "layer").orderBy("feature_id")
