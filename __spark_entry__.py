@@ -237,9 +237,7 @@ def q_quality_scores(spark, sf_dir):
     from tegola_spark.operators import textstats
     from tegola_spark.sources import corpus
 
-    doc = corpus.documents(spark, sf_dir).limit(0).unionByName(
-        corpus.documents(spark, sf_dir))  # stable plan
-    out = textstats.quality_columns(doc)
+    out = textstats.quality_columns(corpus.documents(spark, sf_dir))
     return out.select(
         "doc_id", "n_chars_calc", "n_tokens",
         F.round("alpha_ratio", 9).alias("alpha_r"),
@@ -297,7 +295,7 @@ def q_minhash_pairs(spark, sf_dir):
     from tegola_spark.operators import dedup
     from tegola_spark.sources import corpus
 
-    return dedup.minhash_lsh_pairs(corpus.documents(spark, sf_dir), threshold=0.4)
+    return dedup.minhash_lsh_pairs(corpus.documents(spark, sf_dir), threshold=0.8)
 
 
 def q_simhash_fingerprints(spark, sf_dir):
@@ -315,6 +313,32 @@ def q_multimodal_decode(spark, sf_dir):
     out = multimodal.decode_media(media)
     return out.select("doc_id", "media_type", "payload_len", "width",
                       "height", "n_frames")
+
+
+def q_raster_rollup(spark, sf_dir):
+    """rasterize at res 6 then resample (parent rollup) to res 3 —
+    equals direct rasterization at res 3 (oracle computes the latter)."""
+    from tegola_spark.operators import raster
+
+    r6 = raster.rasterize_points(_points(spark, sf_dir), res=6)
+    return raster.resample(r6, 6, 3, agg="sum").select(
+        "cell", F.col("value").alias("n_points"))
+
+
+def q_raster_vectorize(spark, sf_dir):
+    """raster cells -> vector quads: cell id + value + lon/lat bounds
+    (geometry WKB omitted from the compared columns; bounds rounded for
+    cross-engine float stability)."""
+    from tegola_spark.operators import raster
+
+    r4 = raster.rasterize_points(_points(spark, sf_dir), res=4)
+    v = raster.vectorize(r4)
+    return v.select(
+        F.col("feature_id").alias("cell"),
+        F.col("value").alias("n_points"),
+        F.round("minx", 9).alias("minx"), F.round("miny", 9).alias("miny"),
+        F.round("maxx", 9).alias("maxx"), F.round("maxy", 9).alias("maxy"),
+    )
 
 
 def q_extract_parity(spark, sf_dir):
@@ -359,6 +383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "embedding_norms": q_embedding_norms,
         "similarity_ann": q_similarity_ann,
+        "raster_rollup": q_raster_rollup,
+        "raster_vectorize": q_raster_vectorize,
         "minhash_pairs": q_minhash_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "multimodal_decode": q_multimodal_decode,
@@ -473,6 +499,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_cellring": _knn_oracle(),
         "knn_brute": _knn_oracle(),
+        "raster_rollup": f"""
+            SELECT 3 * 4503599627370496 + ({_tile_x_sql('lon', 3)}) * 67108864
+                   + ({_tile_y_sql('lat', 3)}) AS cell,
+                   CAST(COUNT(*) AS DOUBLE) AS n_points
+            FROM ({GEO_POINTS_SQL}) GROUP BY 1
+        """,
+        "raster_vectorize": f"""
+            WITH cells4 AS (
+              SELECT ({_tile_x_sql('lon', 4)}) AS cx, ({_tile_y_sql('lat', 4)}) AS cy,
+                     COUNT(*) AS n
+              FROM ({GEO_POINTS_SQL}) GROUP BY 1, 2
+            )
+            SELECT 4 * 4503599627370496 + cx * 67108864 + cy AS cell,
+                   CAST(n AS DOUBLE) AS n_points,
+                   ROUND(cx / 16.0 * 360.0 - 180.0, 9) AS minx,
+                   ROUND(180.0 / pi() * atan(0.5 * (exp(pi() - 2 * pi() * (cy + 1) / 16.0)
+                         - exp(-(pi() - 2 * pi() * (cy + 1) / 16.0)))), 9) AS miny,
+                   ROUND((cx + 1) / 16.0 * 360.0 - 180.0, 9) AS maxx,
+                   ROUND(180.0 / pi() * atan(0.5 * (exp(pi() - 2 * pi() * cy / 16.0)
+                         - exp(-(pi() - 2 * pi() * cy / 16.0)))), 9) AS maxy
+            FROM cells4
+        """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
             FROM documents GROUP BY 1

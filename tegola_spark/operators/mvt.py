@@ -454,7 +454,10 @@ def encode_layer(name: str, features, extent: int = DEFAULT_EXTENT) -> bytes:
     keys, kidx, vals, vidx = build_dictionaries(features)
     parts = [_len_delim(1, name.encode("utf-8"))]
     for f in features:
-        geom_arr, gtype = encode_geometry(f["geom"])
+        if "cmds" in f:  # pre-encoded command stream (vectorized point path)
+            geom_arr, gtype = f["cmds"]
+        else:
+            geom_arr, gtype = encode_geometry(f["geom"])
         if len(geom_arr) == 0:
             continue
         tag_idx = []

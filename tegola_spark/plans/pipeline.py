@@ -58,6 +58,13 @@ def _ellipsoidal(arr: np.ndarray) -> np.ndarray:
     return out
 
 
+_METRIC_COLS = ["z", "x", "y", "layer", "layer_bytes", "n_features",
+                "n_dropped", "bytes", "encode_ms"]
+
+# little-endian 2D WKB Point header — the vectorized fast-path marker
+_POINT_WKB_HEAD = b"\x01\x01\x00\x00\x00"
+
+
 def encode_layer_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Grouped-map kernel: all features of one (z, x, y, layer) ->
     one MVT layer blob (already wrapped as a Tile.layers field so tile
@@ -68,37 +75,80 @@ def encode_layer_group(pdf: pd.DataFrame) -> pd.DataFrame:
     x = int(pdf["x"].iloc[0])
     y = int(pdf["y"].iloc[0])
     layer = pdf["layer"].iloc[0]
-    return _encode_one(pdf, t0, z, x, y, layer)
+    return pd.DataFrame([_encode_one(pdf, t0, z, x, y, layer)],
+                        columns=_METRIC_COLS)
 
 
 def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     """Bucketed grouped-map kernel: MANY (z, x, y, layer) groups per UDF
     invocation. groupBy on the raw tile-layer key pays one Python/Arrow
     round-trip per group — at z>=5 groups hold a handful of features
-    and invocation overhead dominates (measured 35 tiles/sec at
-    sf0.01). Salting the shuffle key down to n_buckets amortizes that
-    to one invocation per bucket (~25x fewer), while each tile-layer is
-    still encoded whole because the bucket key is a pure function of
-    the group key."""
-    out = [
+    and invocation overhead dominates. Salting the shuffle key down to
+    n_buckets amortizes that, while each tile-layer is still encoded
+    whole because the bucket key is a pure function of the group key.
+    Output rows accumulate as dicts — building a 1-row pd.DataFrame per
+    group cost ~1 ms each (29k groups = 29 s, measured)."""
+    rows = [
         _encode_one(g, time.perf_counter(), int(k[0]), int(k[1]), int(k[2]), k[3])
         for k, g in pdf.groupby(["z", "x", "y", "layer"], sort=True)
     ]
-    return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-        columns=["z", "x", "y", "layer", "layer_bytes", "n_features",
-                 "n_dropped", "bytes", "encode_ms"])
+    return pd.DataFrame(rows, columns=_METRIC_COLS)
+
+
+def _vectorized_points(pdf: pd.DataFrame, ext, clip_region, srid_mask) -> list:
+    """Fast path: every 21-byte little-endian WKB Point in the group is
+    projected (P8), quantized (P9), clipped and command-encoded in a
+    handful of NumPy passes. Per-feature cursors start at (0,0)
+    (feature.go:139-146), so a point feature's stream is just
+    [MoveTo(1), zigzag(trunc px), zigzag(trunc py)]."""
+    buf = np.frombuffer(b"".join(pdf["geom"]), dtype=np.uint8).reshape(-1, 21)
+    lon = buf[:, 5:13].copy().view("<f8").ravel()
+    lat = buf[:, 13:21].copy().view("<f8").ravel()
+    px_x = np.where(srid_mask, mercator.lon_to_x(lon), lon)
+    px_y = np.where(srid_mask, mercator.lat_to_y(lat), lat)
+    minx, miny, maxx, maxy = ext
+    qx = (px_x - minx) / (maxx - minx) * mvt.DEFAULT_EXTENT
+    qy = (maxy - px_y) / (maxy - miny) * mvt.DEFAULT_EXTENT
+    keep = ((qx >= clip_region[0]) & (qx <= clip_region[2])
+            & (qy >= clip_region[1]) & (qy <= clip_region[3]))
+    ix = qx.astype(np.int64)
+    iy = qy.astype(np.int64)
+    zz = mvt.zigzag(np.column_stack([ix, iy]).ravel()).reshape(-1, 2)
+    move1 = mvt.command(mvt.CMD_MOVETO, 1)
+    feats = []
+    fids = pdf["feature_id"].to_numpy()
+    tags = pdf["tags"].to_numpy()
+    for i in np.nonzero(keep)[0]:
+        feats.append({
+            "id": int(fids[i]),
+            "tags": dict(tags[i]) if tags[i] is not None else {},
+            "cmds": (np.array([move1, zz[i, 0], zz[i, 1]], dtype=np.uint32),
+                     mvt.GEOM_POINT),
+        })
+    return feats
 
 
 def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
-                layer: str) -> pd.DataFrame:
+                layer: str) -> dict:
     ext = tuple(float(v) for v in grid.tile_extent_3857(z, x, y))
     clip_region = grid.buffered_pixel_bounds()
 
     pdf = pdf.sort_values("feature_id", kind="mergesort")  # O1 determinism
-    feats = []
     n_in = len(pdf)
-    srids = pdf["srid"] if "srid" in pdf.columns else pd.Series(4326, index=pdf.index)
-    for fid, gwkb, tags, srid in zip(pdf["feature_id"], pdf["geom"], pdf["tags"], srids):
+    if "srid" not in pdf.columns:
+        pdf = pdf.assign(srid=4326)
+
+    # split: vectorized point fast path vs generic per-feature path
+    is_pt = pdf["geom"].map(
+        lambda b: len(b) == 21 and bytes(b[:5]) == _POINT_WKB_HEAD)
+    feats = []
+    pts = pdf[is_pt]
+    if len(pts):
+        feats.extend(_vectorized_points(
+            pts, ext, clip_region, (pts["srid"] != 3857).to_numpy()))
+
+    for fid, gwkb, tags, srid in zip(*(pdf.loc[~is_pt, c] for c in
+                                       ("feature_id", "geom", "tags", "srid"))):
         g = wkb.decode(bytes(gwkb))
         if srid != 3857:
             # P8 ellipsoidal feature reprojection (atlas/map.go:241-248);
@@ -114,14 +164,17 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
             continue
         feats.append({"id": int(fid), "tags": dict(tags) if tags is not None else {},
                       "geom": g})
+
+    # O1 determinism across both paths
+    feats.sort(key=lambda f: f["id"])
     body = mvt.encode_layer(layer, feats)
     blob = mvt.encode_tile([body])  # wrap as field-3 record
     ms = (time.perf_counter() - t0) * 1000.0
-    return pd.DataFrame([{
+    return {
         "z": z, "x": x, "y": y, "layer": layer, "layer_bytes": blob,
         "n_features": len(feats), "n_dropped": n_in - len(feats),
         "bytes": len(blob), "encode_ms": ms,
-    }])
+    }
 
 
 def point_features(spark: SparkSession, sf_dir: str, docs=None) -> DataFrame:
@@ -255,7 +308,10 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
             .where(F.col("_rk") <= max_features_per_tile).drop("_rk")
         )
 
-    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # 4x shuffle partitions: finer buckets = better straggler balance in
+    # the python-heavy encode stage (per-invocation overhead is small
+    # since rows accumulate as dicts)
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
     metrics = (
         feats.withColumn(
             "_bucket", F.pmod(F.hash("z", "x", "y", "layer"), F.lit(n_buckets)))

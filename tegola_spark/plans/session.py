@@ -21,6 +21,13 @@ def get_spark(app_name: str = "tegola_spark", cpus: int | None = None,
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus), 8)
+    # One BLAS/OMP thread per python worker: N workers x M BLAS threads
+    # oversubscribes N*M ways and INVERTS scaling (local[32] measured
+    # slower than local[8] before this). Spark task parallelism is the
+    # only parallelism we want in workers.
+    for var in ("OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS", "OMP_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder
         .master(f"local[{cpus}]")
@@ -32,11 +39,12 @@ def get_spark(app_name: str = "tegola_spark", cpus: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # local mode = one JVM; driver memory is the ONLY heap knob and
-        # must scale with cores or local[32] GC-thrashes and scales
-        # WORSE than local[8] (measured: 0.2 efficiency at 8g)
+        # local mode = one JVM; driver memory is the ONLY heap knob.
+        # Measured on this box: 8g GC-thrashes under heavy shuffles, and
+        # 96g INVERTS scaling (local[32] slower than local[8] — huge-heap
+        # allocation/GC pathology). 24g is the sweet spot at both levels.
         .config("spark.driver.memory", os.environ.get(
-            "SPARK_GRAFT_DRIVER_MEM", f"{max(16, min(96, cpus * 3))}g"))
+            "SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -53,12 +53,15 @@ def test_minhash_lsh_finds_near_dups(spark):
     near = base.replace("lazy", "sleepy", 2)
     far = ("completely different content about spark engines " * 20).strip()
     pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, far]})
-    pairs = dedup.minhash_lsh_pairs(spark.createDataFrame(pdf), threshold=0.5).collect()
+    # bands=16 (r=4): right geometry for a tiny clean corpus at tau=0.5;
+    # the default bands=8 targets template-heavy corpora (see dedup.py)
+    pairs = dedup.minhash_lsh_pairs(
+        spark.createDataFrame(pdf), threshold=0.5, bands=16).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (1, 2) in got
     assert all(p in {(1, 2)} for p in got)
     verified = dedup.ngram_jaccard_verify(
-        dedup.minhash_lsh_pairs(spark.createDataFrame(pdf), threshold=0.5),
+        dedup.minhash_lsh_pairs(spark.createDataFrame(pdf), threshold=0.5, bands=16),
         spark.createDataFrame(pdf)).collect()
     assert verified[0]["jaccard"] > 0.8
 
