@@ -55,7 +55,11 @@ def run_bench(sf_dir: str, cpus: int, zooms=range(0, 6), scale_mult: int = 1) ->
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
+    only = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
+
     def timed(name: str, fn):
+        if only and name not in only:
+            return None
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
