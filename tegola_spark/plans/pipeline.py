@@ -44,7 +44,12 @@ from ..operators import geometry as geo
 from ..operators import mvt, tiling
 from ..sources import corpus, layers
 
-FEATURE_COLS = ["z", "x", "y", "layer", "feature_id", "geom", "tags", "srid"]
+# tags travel as typed `tag_<key>` STRING columns, not MapType: Arrow's
+# map conversion builds per-row python tuple lists and cost ~30s of a
+# 40s identity pass over 9.5M rows (measured); string columns are near
+# zero-copy. Column order defines MVT tag-key first-appearance order.
+TAG_COLS = ["tag_type", "tag_url", "tag_lang", "tag_name", "tag_zxy"]
+FEATURE_COLS = ["z", "x", "y", "layer", "feature_id", "geom", "srid"] + TAG_COLS
 ENCODE_SCHEMA = (
     "z int, x long, y long, layer string, layer_bytes binary, "
     "n_features long, n_dropped long, bytes long, encode_ms double"
@@ -95,6 +100,23 @@ def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=_METRIC_COLS)
 
 
+def _tag_dicts(pdf: pd.DataFrame) -> list:
+    """Per-row tag dicts from the typed tag_* columns (None skipped).
+    Column ORDER in the frame defines MVT dictionary first-appearance;
+    derived from pdf.columns (not module state — the driver may append
+    default-tag columns and workers import the module fresh)."""
+    cols = [(c[4:], pdf[c].to_numpy()) for c in pdf.columns if c.startswith("tag_")]
+    out = []
+    for i in range(len(pdf)):
+        d = {}
+        for key, arr in cols:
+            v = arr[i]
+            if v is not None and v == v:  # skip None/NaN
+                d[key] = v
+        out.append(d)
+    return out
+
+
 def _vectorized_points(pdf: pd.DataFrame, ext, clip_region, srid_mask) -> list:
     """Fast path: every 21-byte little-endian WKB Point in the group is
     projected (P8), quantized (P9), clipped and command-encoded in a
@@ -117,11 +139,11 @@ def _vectorized_points(pdf: pd.DataFrame, ext, clip_region, srid_mask) -> list:
     move1 = mvt.command(mvt.CMD_MOVETO, 1)
     feats = []
     fids = pdf["feature_id"].to_numpy()
-    tags = pdf["tags"].to_numpy()
+    tags = _tag_dicts(pdf)
     for i in np.nonzero(keep)[0]:
         feats.append({
             "id": int(fids[i]),
-            "tags": dict(tags[i]) if tags[i] is not None else {},
+            "tags": tags[i],
             "cmds": (np.array([move1, zz[i, 0], zz[i, 1]], dtype=np.uint32),
                      mvt.GEOM_POINT),
         })
@@ -147,8 +169,10 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
         feats.extend(_vectorized_points(
             pts, ext, clip_region, (pts["srid"] != 3857).to_numpy()))
 
-    for fid, gwkb, tags, srid in zip(*(pdf.loc[~is_pt, c] for c in
-                                       ("feature_id", "geom", "tags", "srid"))):
+    rest = pdf[~is_pt]
+    rest_tags = _tag_dicts(rest)
+    for fid, gwkb, tags, srid in zip(rest["feature_id"], rest["geom"],
+                                     rest_tags, rest["srid"]):
         g = wkb.decode(bytes(gwkb))
         if srid != 3857:
             # P8 ellipsoidal feature reprojection (atlas/map.go:241-248);
@@ -162,8 +186,7 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
         g = geo.clean_geometry(g, clip_region)       # G2/G3 clip
         if g is None:
             continue
-        feats.append({"id": int(fid), "tags": dict(tags) if tags is not None else {},
-                      "geom": g})
+        feats.append({"id": int(fid), "tags": tags, "geom": g})
 
     # O1 determinism across both paths
     feats.sort(key=lambda f: f["id"])
@@ -190,10 +213,12 @@ def point_features(spark: SparkSession, sf_dir: str, docs=None) -> DataFrame:
         F.lit("pages").alias("layer"),
         "lon", "lat",
         pt_wkb("lon", "lat").alias("geom"),
-        F.create_map(
-            F.lit("url"), F.col("url"), F.lit("lang"), F.col("lang"),
-        ).alias("tags"),
         F.lit(4326).alias("srid"),
+        F.lit(None).cast("string").alias("tag_type"),
+        F.col("url").alias("tag_url"),
+        F.col("lang").alias("tag_lang"),
+        F.lit(None).cast("string").alias("tag_name"),
+        F.lit(None).cast("string").alias("tag_zxy"),
     )
 
 
@@ -203,8 +228,12 @@ def polygon_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = nat.unionByName(reg)
     return both.select(
         "feature_id", "layer", "minx", "miny", "maxx", "maxy", "geom",
-        F.create_map(F.lit("name"), F.col("name")).alias("tags"),
         F.lit(4326).alias("srid"),
+        F.lit(None).cast("string").alias("tag_type"),
+        F.lit(None).cast("string").alias("tag_url"),
+        F.lit(None).cast("string").alias("tag_lang"),
+        F.col("name").alias("tag_name"),
+        F.lit(None).cast("string").alias("tag_zxy"),
     )
 
 
@@ -239,35 +268,42 @@ def debug_features(spark: SparkSession, zooms) -> DataFrame:
 
     tag = F.concat(F.lit("Z:"), F.col("z").cast("string"), F.lit(", X:"),
                    F.col("x").cast("string"), F.lit(", Y:"), F.col("y").cast("string"))
+    none = F.lit(None).cast("string")
     out_poly = tiles.select(
         "z", "x", "y", F.lit("debug-tile-outline").alias("layer"),
         F.lit(0).cast("long").alias("feature_id"),
         outline("z", "x", "y").alias("geom"),
-        F.create_map(F.lit("type"), F.lit("debug_buffer_outline")).alias("tags"),
-        F.lit(3857).alias("srid"))
+        F.lit(3857).alias("srid"),
+        F.lit("debug_buffer_outline").alias("tag_type"),
+        none.alias("tag_url"), none.alias("tag_lang"),
+        none.alias("tag_name"), none.alias("tag_zxy"))
     out_ctr = tiles.select(
         "z", "x", "y", F.lit("debug-tile-center").alias("layer"),
         F.lit(0).cast("long").alias("feature_id"),
         center("z", "x", "y").alias("geom"),
-        F.create_map(F.lit("type"), F.lit("debug_text"),
-                     F.lit("zxy"), tag).alias("tags"),
-        F.lit(3857).alias("srid"))
+        F.lit(3857).alias("srid"),
+        F.lit("debug_text").alias("tag_type"),
+        none.alias("tag_url"), none.alias("tag_lang"),
+        none.alias("tag_name"), tag.alias("tag_zxy"))
     return out_poly.unionByName(out_ctr)
 
 
 def merge_default_tags(feats: DataFrame, default_tags: dict) -> DataFrame:
     """P11: layer default_tags merged UNDER feature tags (no overwrite)
-    — atlas/map.go:256-261. map_concat keeps the LAST value for
-    duplicate keys in Spark, so defaults go first."""
+    — atlas/map.go:256-261. With typed tag columns this is coalesce;
+    unknown default keys become new tag_ columns appended LAST, so
+    dictionary order keeps feature tags first, matching the golden
+    keys [type, foo] — atlas/map_test.go:382-390."""
     if not default_tags:
         return feats
-    kv = []
+    out = feats
     for k, v in default_tags.items():
-        kv.extend([F.lit(k), F.lit(v)])
-    defaults = F.create_map(*kv)
-    return feats.withColumn("tags", F.map_concat(
-        F.map_filter(defaults, lambda k, _: ~F.map_contains_key(F.col("tags"), k)),
-        F.col("tags")))
+        col = f"tag_{k}"
+        if col in out.columns:
+            out = out.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
+        else:
+            out = out.withColumn(col, F.lit(v))
+    return out
 
 
 def build_tiles(spark: SparkSession, sf_dir: str, zooms,
