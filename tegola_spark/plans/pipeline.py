@@ -84,7 +84,7 @@ def encode_layer_group(pdf: pd.DataFrame) -> pd.DataFrame:
                         columns=_METRIC_COLS)
 
 
-def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+def encode_bucket(pdf: pd.DataFrame, simplify: bool = False) -> pd.DataFrame:
     """Bucketed grouped-map kernel: MANY (z, x, y, layer) groups per UDF
     invocation. groupBy on the raw tile-layer key pays one Python/Arrow
     round-trip per group — at z>=5 groups hold a handful of features
@@ -94,7 +94,8 @@ def encode_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     Output rows accumulate as dicts — building a 1-row pd.DataFrame per
     group cost ~1 ms each (29k groups = 29 s, measured)."""
     rows = [
-        _encode_one(g, time.perf_counter(), int(k[0]), int(k[1]), int(k[2]), k[3])
+        _encode_one(g, time.perf_counter(), int(k[0]), int(k[1]), int(k[2]), k[3],
+                    simplify=simplify)
         for k, g in pdf.groupby(["z", "x", "y", "layer"], sort=True)
     ]
     return pd.DataFrame(rows, columns=_METRIC_COLS)
@@ -151,7 +152,7 @@ def _vectorized_points(pdf: pd.DataFrame, ext, clip_region, srid_mask) -> list:
 
 
 def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
-                layer: str) -> dict:
+                layer: str, simplify: bool = False) -> dict:
     ext = tuple(float(v) for v in grid.tile_extent_3857(z, x, y))
     clip_region = grid.buffered_pixel_bounds()
 
@@ -178,8 +179,14 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
             # P8 ellipsoidal feature reprojection (atlas/map.go:241-248);
             # srid 3857 passes through untouched (tile.go:143-156)
             g = wkb.map_coords(g, _ellipsoidal)
-        # simplify: parity default OFF (atlas/atlas.go:19-33) — see
-        # geometry.simplify_geometry for the exact ported kernel
+        # G1 simplify: parity default OFF (atlas/atlas.go:19-33); when
+        # enabled it runs in PROJECTED coords with the ZEpislon
+        # tolerance, gated z < simplification_maxzoom(10) and z != MaxZ
+        # (atlas/map.go:266-271) — exactly the reference order
+        if simplify and z < 10 and z != grid.MAX_Z:
+            g = geo.simplify_geometry(g, grid.zepsilon(z))
+            if g is None:
+                continue
         g = mvt.prepare_geo(g, ext)                  # P9 quantize
         if g is None:
             continue
@@ -310,7 +317,8 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
                 max_features_per_tile: int | None = None,
                 with_polygons: bool = True, docs=None,
                 with_debug: bool = False,
-                default_tags: dict | None = None) -> tuple[DataFrame, DataFrame]:
+                default_tags: dict | None = None,
+                simplify: bool = False) -> tuple[DataFrame, DataFrame]:
     """Returns (layer_metrics_df, tiles_df).
 
     layer_metrics_df: one row per (z,x,y,layer) with blob + lineage.
@@ -348,11 +356,14 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
     # the python-heavy encode stage (per-invocation overhead is small
     # since rows accumulate as dicts)
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        return encode_bucket(pdf, simplify=simplify)
+
     metrics = (
         feats.withColumn(
             "_bucket", F.pmod(F.hash("z", "x", "y", "layer"), F.lit(n_buckets)))
         .groupBy("_bucket")
-        .applyInPandas(encode_bucket, ENCODE_SCHEMA)
+        .applyInPandas(_encode, ENCODE_SCHEMA)
     )
 
     # tile assembly: byte concat in deterministic layer-name order

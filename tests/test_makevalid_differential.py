@@ -25,9 +25,11 @@ def test_valid_polygon_clip_agrees_with_reference_semantics():
     np.testing.assert_allclose(out[0], ring)
 
 
-@pytest.mark.xfail(reason="make-valid union of overlapping rings is the "
-                          "round-2 G3 work; S-H clip treats ring 2 as a "
-                          "hole instead of unioning (SURVEY.md §7.4(2))",
+@pytest.mark.xfail(reason="the DEFAULT clean path (S-H rect clip) does not "
+                          "repair overlapping rings; operators/makevalid.py "
+                          "implements the repairing sweep (vertex-exact on "
+                          "this fixture — tests/test_makevalid_sweep.py) and "
+                          "wiring it as a per-layer clean mode is round-2",
                    strict=True)
 def test_makevalid_case0_overlapping_rings_union():
     """makevalid_test.go case 0: two overlapping rectangles union into
