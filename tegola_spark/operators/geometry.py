@@ -385,14 +385,23 @@ def clip_polygon_rect(rings, ext):
     return out
 
 
-def clean_geometry(geom, clip_region):
+def clean_geometry(geom, clip_region, repair: bool = False):
     """validate.CleanGeometry analog (validate.go:101-146): lines get
-    the exact ported clip walk; polygons get rect clip (see module
-    docstring for the makevalid substitution rationale). clip_region
-    None = no clipping (the DontClip toggle, atlas/layer.go:21-29)."""
+    the exact ported clip walk; polygons get rect clip by default, or
+    the full make-valid trapezoid sweep when ``repair=True`` (the
+    reference always repairs — validate.go:108-127; the sweep splits
+    every segment pair so it costs O(n^2) on vertex count, hence
+    opt-in per layer). clip_region None = no clipping (the DontClip
+    toggle, atlas/layer.go:21-29)."""
     if geom is None:
         return None
     gtype, data = geom
+    if repair and gtype in ("Polygon", "MultiPolygon"):
+        from . import makevalid as MV
+
+        rings = data if gtype == "Polygon" else [r for p in data for r in p]
+        polys = MV.make_valid(rings, clip_ext=clip_region)
+        return ("MultiPolygon", polys) if polys else None
     if clip_region is None:
         return geom
     if gtype == "LineString":

@@ -84,7 +84,8 @@ def encode_layer_group(pdf: pd.DataFrame) -> pd.DataFrame:
                         columns=_METRIC_COLS)
 
 
-def encode_bucket(pdf: pd.DataFrame, simplify: bool = False) -> pd.DataFrame:
+def encode_bucket(pdf: pd.DataFrame, simplify: bool = False,
+                  repair: bool = False) -> pd.DataFrame:
     """Bucketed grouped-map kernel: MANY (z, x, y, layer) groups per UDF
     invocation. groupBy on the raw tile-layer key pays one Python/Arrow
     round-trip per group — at z>=5 groups hold a handful of features
@@ -95,7 +96,7 @@ def encode_bucket(pdf: pd.DataFrame, simplify: bool = False) -> pd.DataFrame:
     group cost ~1 ms each (29k groups = 29 s, measured)."""
     rows = [
         _encode_one(g, time.perf_counter(), int(k[0]), int(k[1]), int(k[2]), k[3],
-                    simplify=simplify)
+                    simplify=simplify, repair=repair)
         for k, g in pdf.groupby(["z", "x", "y", "layer"], sort=True)
     ]
     return pd.DataFrame(rows, columns=_METRIC_COLS)
@@ -152,7 +153,8 @@ def _vectorized_points(pdf: pd.DataFrame, ext, clip_region, srid_mask) -> list:
 
 
 def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
-                layer: str, simplify: bool = False) -> dict:
+                layer: str, simplify: bool = False,
+                repair: bool = False) -> dict:
     ext = tuple(float(v) for v in grid.tile_extent_3857(z, x, y))
     clip_region = grid.buffered_pixel_bounds()
 
@@ -190,7 +192,7 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
         g = mvt.prepare_geo(g, ext)                  # P9 quantize
         if g is None:
             continue
-        g = geo.clean_geometry(g, clip_region)       # G2/G3 clip
+        g = geo.clean_geometry(g, clip_region, repair=repair)  # G2/G3
         if g is None:
             continue
         feats.append({"id": int(fid), "tags": tags, "geom": g})
@@ -318,7 +320,8 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
                 with_polygons: bool = True, docs=None,
                 with_debug: bool = False,
                 default_tags: dict | None = None,
-                simplify: bool = False) -> tuple[DataFrame, DataFrame]:
+                simplify: bool = False,
+                repair_polygons: bool = False) -> tuple[DataFrame, DataFrame]:
     """Returns (layer_metrics_df, tiles_df).
 
     layer_metrics_df: one row per (z,x,y,layer) with blob + lineage.
@@ -357,7 +360,7 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
     # since rows accumulate as dicts)
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        return encode_bucket(pdf, simplify=simplify)
+        return encode_bucket(pdf, simplify=simplify, repair=repair_polygons)
 
     metrics = (
         feats.withColumn(
