@@ -532,9 +532,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM({tok}) AS total_tokens,
+                   CAST(SUM({tok}) AS BIGINT) AS total_tokens,
                    ROUND(AVG({tok}), 6) AS avg_tokens,
-                   MAX({tok}) AS max_tokens
+                   CAST(MAX({tok}) AS BIGINT) AS max_tokens
             FROM documents GROUP BY lang
         """,
         "quality_scores": f"""

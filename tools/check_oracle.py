@@ -46,6 +46,15 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     if len(g) == len(w):
         for c in g.columns:
             a, b = g[c], w[c]
+            # The driver's value-hash is type-sensitive: DuckDB HUGEINT sums
+            # materialize as float64 while Spark returns int64, hashing red even
+            # when numerically equal. Flag kind mismatches instead of coercing.
+            if a.dtype.kind != b.dtype.kind and not (
+                    a.dtype.kind in "OU" and b.dtype.kind in "OU"):
+                problems.append(
+                    f"col {c}: dtype kind mismatch spark={a.dtype} oracle={b.dtype} "
+                    f"(driver value-hash would differ even if values match)")
+                continue
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                 eq = (a.astype(np.float64).to_numpy() == b.astype(np.float64).to_numpy()) | \
                      (a.isna().to_numpy() & b.isna().to_numpy())
