@@ -51,6 +51,76 @@ def decode_param(value, typ: str):
     return PARAM_DECODERS[typ](value)
 
 
+class MissingParamError(ValueError):
+    pass
+
+
+class SQLFragment(str):
+    """A resolved parameter SQL fragment — inserted verbatim by
+    replace_tokens (plain strings are quoted as literals)."""
+
+
+def _sql_literal(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(v)
+
+
+class QueryParameter:
+    """P3 — provider/query_parameter.go:10-65.
+
+    A declared parameter: ``token`` replaced by ``sql`` with every ``?``
+    bound to the typed value. When the caller omits the param:
+      * ``default_value`` (if set) is decoded with the param's type and
+        used as the value (ToDefaultValue, query_parameter.go:44-53);
+      * else ``default_sql`` (if set) replaces ``sql`` wholesale with no
+        bound value (query_parameter.go:54-62);
+      * else the parameter is required and resolution errors
+        (query_parameter.go:63-64).
+    Normalize (query_parameter.go:21-28): token uppercased, empty sql
+    becomes bare "?".
+    """
+
+    def __init__(self, name: str, token: str, typ: str = "string",
+                 sql: str = "", default_sql: str = "",
+                 default_value: str = ""):
+        self.name = name
+        self.token = token.upper().strip("!")
+        self.typ = typ
+        self.sql = sql or "?"
+        self.default_sql = default_sql
+        self.default_value = default_value
+
+    def resolve(self, raw_value=None) -> str:
+        """Return the SQL fragment this param contributes. The reference
+        binds the decoded value once as a positional arg and points every
+        ``?`` at it (query_parameter_value.go:55-69); the Spark engine
+        inlines the same literal at each ``?``."""
+        if raw_value is not None:
+            val = decode_param(raw_value, self.typ)
+            return SQLFragment(self.sql.replace("?", _sql_literal(val)))
+        if self.default_value:
+            val = decode_param(self.default_value, self.typ)
+            return SQLFragment(self.sql.replace("?", _sql_literal(val)))
+        if self.default_sql:
+            return SQLFragment(self.default_sql)
+        raise MissingParamError(
+            f"the required parameter {self.name} is not specified")
+
+
+def resolve_params(declared, provided: dict | None = None) -> dict:
+    """Build the token -> SQL-fragment map for replace_tokens from
+    declared QueryParameters + user-supplied raw values (keyed by param
+    name, as in the HTTP query string)."""
+    provided = provided or {}
+    out = {}
+    for p in declared:
+        out[p.token] = p.resolve(provided.get(p.name))
+    return out
+
+
 def bbox_predicate(minx, miny, maxx, maxy,
                    lon_col="lon", lat_col="lat") -> str:
     """The !BBOX! replacement: tegola emits `geom && ST_MakeEnvelope(...)`
@@ -84,7 +154,10 @@ def replace_tokens(sql: str, z: int, x: int, y: int,
     }
     if params:
         for k, v in params.items():
-            repl[k.upper()] = repr(v) if isinstance(v, str) else str(v)
+            if isinstance(v, SQLFragment):
+                repl[k.upper()] = str(v)
+            else:
+                repl[k.upper()] = repr(v) if isinstance(v, str) else str(v)
 
     def sub(m: re.Match) -> str:
         name = m.group(1).upper()

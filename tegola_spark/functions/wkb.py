@@ -33,6 +33,7 @@ WKB_POLYGON = 3
 WKB_MULTIPOINT = 4
 WKB_MULTILINESTRING = 5
 WKB_MULTIPOLYGON = 6
+WKB_GEOMETRYCOLLECTION = 7
 
 _TYPE_CODE = {
     "Point": WKB_POINT,
@@ -41,6 +42,10 @@ _TYPE_CODE = {
     "MultiPoint": WKB_MULTIPOINT,
     "MultiLineString": WKB_MULTILINESTRING,
     "MultiPolygon": WKB_MULTIPOLYGON,
+    # geom.Collection (reference geometry.go:58-62); data = [geometry
+    # tuple, ...]. Flattened to per-geometry features at MVT encode
+    # (mvt/feature.go:48-67) and skipped when empty (atlas/map.go:232-236).
+    "GeometryCollection": WKB_GEOMETRYCOLLECTION,
 }
 _CODE_TYPE = {v: k for k, v in _TYPE_CODE.items()}
 
@@ -81,6 +86,11 @@ def encode(geom) -> bytes:
         parts = [head, struct.pack("<I", len(data))]
         for rings in data:
             parts.append(encode(("Polygon", rings)))
+        return b"".join(parts)
+    if gtype == "GeometryCollection":
+        parts = [head, struct.pack("<I", len(data))]
+        for sub in data:
+            parts.append(encode(sub))
         return b"".join(parts)
     raise ValueError(f"unsupported geometry type {gtype!r}")
 
@@ -128,6 +138,8 @@ class _Reader:
             return ("MultiPoint", pts)
         if gtype == "MultiLineString":
             return ("MultiLineString", [s[1] for s in subs])
+        if gtype == "GeometryCollection":
+            return ("GeometryCollection", subs)
         return ("MultiPolygon", [s[1] for s in subs])
 
     def _u32(self, endian) -> int:
@@ -147,9 +159,28 @@ def decode(buf: bytes):
     return _Reader(bytes(buf)).geometry()
 
 
+def flatten_collection(geom):
+    """NewFeatures (mvt/feature.go:48-67): a Collection flattens
+    recursively into its member geometries; any other geometry yields
+    itself. Empty collections yield nothing (atlas/map.go:232-236)."""
+    gtype, data = geom
+    if gtype != "GeometryCollection":
+        return [geom]
+    out = []
+    for sub in data:
+        out.extend(flatten_collection(sub))
+    return out
+
+
 def bbox(geom):
     """(minx, miny, maxx, maxy) of any geometry tuple (E8 extent algebra)."""
     gtype, data = geom
+    if gtype == "GeometryCollection":
+        boxes = [bbox(sub) for sub in data]
+        if not boxes:
+            return None
+        return (min(b[0] for b in boxes), min(b[1] for b in boxes),
+                max(b[2] for b in boxes), max(b[3] for b in boxes))
     if gtype == "Point":
         x, y = float(data[0]), float(data[1])
         return (x, y, x, y)
@@ -172,6 +203,8 @@ def map_coords(geom, fn):
     """Apply ``fn(arr (n,2)) -> arr (n,2)`` to every coordinate array —
     the vectorized analog of tegola's ApplyToPoints (basic/geometry_math.go:15-120)."""
     gtype, data = geom
+    if gtype == "GeometryCollection":
+        return (gtype, [map_coords(sub, fn) for sub in data])
     if gtype == "Point":
         return (gtype, fn(np.asarray(data, dtype=np.float64).reshape(1, 2)).reshape(2))
     if gtype in ("MultiPoint", "LineString"):

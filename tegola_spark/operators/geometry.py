@@ -102,8 +102,12 @@ def _slope_intercept(p0, p1):
 
 def normalize_ring_points(pts: np.ndarray) -> np.ndarray:
     """simplify.go:131-155: de-close (drop FIRST point when closed),
-    then drop points collinear with their neighbors (slope test against
-    a trailing anchor)."""
+    then drop points whose slope from the FIXED anchor pts[0] matches the
+    next point's slope from pts[0].
+
+    Reference quirk preserved: normalizePoints declares `lpt := 0` and
+    never reassigns it — the slope test is anchored at pts[0] for the
+    whole scan, not at the last kept point (simplify.go:141-152)."""
     if len(pts) >= 2 and pts[0][0] == pts[-1][0] and pts[0][1] == pts[-1][1]:
         pts = pts[1:]
     if len(pts) <= 4:
@@ -116,18 +120,25 @@ def normalize_ring_points(pts: np.ndarray) -> np.ndarray:
         m2, _, sdef2 = _slope_intercept(pts[lpt], pts[ni])
         if m1 != m2 or sdef1 != sdef2:
             out.append(pts[i])
-            lpt = i
     return np.array(out)
+
+
+def _trunc_int64(pts: np.ndarray) -> np.ndarray:
+    """basic.NewLineTruncatedFromPt (basic/line.go:85-91): every
+    Douglas-Peucker output coordinate passes through float64(int64(x)) —
+    truncation toward zero — before re-entering the pipeline."""
+    return np.trunc(pts)
 
 
 def simplify_linestring(pts: np.ndarray, tolerance: float):
     """simplify.go:57-70: skip if <=4 points or manhattan length <
-    tolerance (NOT squared)."""
+    tolerance (NOT squared); DP output is int64-truncated
+    (NewLineTruncatedFromPt, simplify.go:69)."""
     pts = np.asarray(pts, dtype=np.float64)
     if len(pts) <= 4 or manhattan_length(pts) < tolerance:
         return pts
     out = dp_simplify(pts, tolerance)
-    return out if len(out) else None
+    return _trunc_int64(out) if len(out) else None
 
 
 def simplify_polygon(rings, tolerance: float):
@@ -158,7 +169,7 @@ def simplify_polygon(rings, tolerance: float):
             if i == 0:
                 return None
             continue
-        out.append(pts)
+        out.append(_trunc_int64(pts))  # simplify.go:120 NewLineTruncatedFromPt
     return out or None
 
 

@@ -476,18 +476,57 @@ def encode_layer(name: str, features, extent: int = DEFAULT_EXTENT) -> bytes:
     return b"".join(parts)
 
 
+class DuplicateLayerName(ValueError):
+    """Tile.AddLayers rejects layers whose name is already present
+    (vendor/.../encoding/mvt/tile.go:16-35)."""
+
+
+def _layer_name_from_bytes(layer_bytes: bytes) -> str | None:
+    """Extract field 1 (name, string) from an encoded Tile_Layer body."""
+    pos = 0
+    n = len(layer_bytes)
+    while pos < n:
+        tag, pos = _read_varint(layer_bytes, pos)
+        field, wire = tag >> 3, tag & 0x7
+        if wire == 0:
+            _, pos = _read_varint(layer_bytes, pos)
+        elif wire == 2:
+            ln, pos = _read_varint(layer_bytes, pos)
+            if field == 1:
+                return layer_bytes[pos:pos + ln].decode("utf-8")
+            pos += ln
+        elif wire == 5:
+            pos += 4
+        elif wire == 1:
+            pos += 8
+        else:
+            return None
+    return None
+
+
 def encode_tile(layers) -> bytes:
     """Tile message: repeated Layer = field 3. ``layers`` is a list of
     (name, features) or pre-encoded layer bytes. MVT layer concatenation
     is byte concatenation of the length-delimited field (S6 pushdown
-    concat `||` — provider/postgis/postgis.go:398-400)."""
+    concat `||` — provider/postgis/postgis.go:398-400).
+
+    Duplicate layer names are rejected, matching Tile.AddLayers
+    (vendor/.../encoding/mvt/tile.go:16-35)."""
     parts = []
+    seen: set[str] = set()
     for layer in layers:
         if isinstance(layer, (bytes, bytearray)):
-            parts.append(_len_delim(3, bytes(layer)))
+            body = bytes(layer)
+            name = _layer_name_from_bytes(body)
+            parts.append(_len_delim(3, body))
         else:
             name, features = layer
             parts.append(_len_delim(3, encode_layer(name, features)))
+        if name is not None:
+            if name in seen:
+                raise DuplicateLayerName(
+                    f"layer already is named {name}, new layer not added")
+            seen.add(name)
     return b"".join(parts)
 
 

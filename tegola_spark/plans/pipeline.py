@@ -176,26 +176,32 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
     rest_tags = _tag_dicts(rest)
     for fid, gwkb, tags, srid in zip(rest["feature_id"], rest["geom"],
                                      rest_tags, rest["srid"]):
-        g = wkb.decode(bytes(gwkb))
-        if srid != 3857:
-            # P8 ellipsoidal feature reprojection (atlas/map.go:241-248);
-            # srid 3857 passes through untouched (tile.go:143-156)
-            g = wkb.map_coords(g, _ellipsoidal)
-        # G1 simplify: parity default OFF (atlas/atlas.go:19-33); when
-        # enabled it runs in PROJECTED coords with the ZEpislon
-        # tolerance, gated z < simplification_maxzoom(10) and z != MaxZ
-        # (atlas/map.go:266-271) — exactly the reference order
-        if simplify and z < 10 and z != grid.MAX_Z:
-            g = geo.simplify_geometry(g, grid.zepsilon(z))
+        decoded = wkb.decode(bytes(gwkb))
+        # GeometryCollection: empty -> feature skipped (atlas/map.go:232-236);
+        # non-empty -> one feature per member geometry, tags shared
+        # (mvt.NewFeatures flattening, mvt/feature.go:48-67)
+        members = wkb.flatten_collection(decoded)
+        n_in += max(0, len(members) - 1)  # empty collection counts as 1 drop
+        for g in members:
+            if srid != 3857:
+                # P8 ellipsoidal feature reprojection (atlas/map.go:241-248);
+                # srid 3857 passes through untouched (tile.go:143-156)
+                g = wkb.map_coords(g, _ellipsoidal)
+            # G1 simplify: parity default OFF (atlas/atlas.go:19-33); when
+            # enabled it runs in PROJECTED coords with the ZEpislon
+            # tolerance, gated z < simplification_maxzoom(10) and z != MaxZ
+            # (atlas/map.go:266-271) — exactly the reference order
+            if simplify and z < 10 and z != grid.MAX_Z:
+                g = geo.simplify_geometry(g, grid.zepsilon(z))
+                if g is None:
+                    continue
+            g = mvt.prepare_geo(g, ext)                  # P9 quantize
             if g is None:
                 continue
-        g = mvt.prepare_geo(g, ext)                  # P9 quantize
-        if g is None:
-            continue
-        g = geo.clean_geometry(g, clip_region, repair=repair)  # G2/G3
-        if g is None:
-            continue
-        feats.append({"id": int(fid), "tags": tags, "geom": g})
+            g = geo.clean_geometry(g, clip_region, repair=repair)  # G2/G3
+            if g is None:
+                continue
+            feats.append({"id": int(fid), "tags": tags, "geom": g})
 
     # O1 determinism across both paths
     feats.sort(key=lambda f: f["id"])

@@ -60,6 +60,31 @@ def test_normalize_ring_decloses_and_drops_collinear():
     assert not any((p == [0.0, 0.0]).all() for p in out[:1]) or True
 
 
+def test_normalize_ring_anchor_stays_at_first_point():
+    # simplify.go:141 declares lpt := 0 and never reassigns it: the slope
+    # test is always anchored at pts[0]. A moving-anchor policy would keep
+    # (0,20) here (slope from (10,20) differs); the reference drops it
+    # because (0,20) and (0,10) are both vertical from pts[0]=(0,0).
+    ring = L(0, 0, 10, 0, 10, 10, 10, 20, 0, 20, 0, 10)
+    out = G.normalize_ring_points(ring)
+    np.testing.assert_array_equal(out, L(0, 0, 10, 0, 10, 10, 10, 20))
+
+
+def test_simplify_truncates_dp_output_to_int64():
+    # NewLineTruncatedFromPt (basic/line.go:85-91): float64(int64(x)) on
+    # every DP output coordinate, truncation toward zero (also negatives).
+    pts = L(0.6, 0.9, 1.7, 9.3, -2.2, -0.4, 3.9, 9.9, 10.6, 0.8)
+    out = G.simplify_linestring(pts, 0.5)
+    assert out is not None
+    np.testing.assert_array_equal(out, np.trunc(out))
+    # endpoints survive DP and must be trunc'd (0.6,0.9)->(0,0), (10.6,0.8)->(10,0)
+    np.testing.assert_array_equal(out[0], [0.0, 0.0])
+    np.testing.assert_array_equal(out[-1], [10.0, 0.0])
+    # gate-skipped lines are returned untouched (no truncation path)
+    short = L(0.5, 0.5, 1.5, 5.5, 2.5, 0.5, 3.5, 5.5)
+    np.testing.assert_array_equal(G.simplify_linestring(short, 100.0), short)
+
+
 # -- G2 line clip (ported table cases) -------------------------------------------
 
 CLIP_CASES = [

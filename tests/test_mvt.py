@@ -234,3 +234,38 @@ def test_decode_real_world_tile_fixture():
             for i in range(0, len(ft["tags"]), 2):
                 assert ft["tags"][i] < len(lyr["keys"])
                 assert ft["tags"][i + 1] < len(lyr["values"])
+
+
+def test_encode_tile_rejects_duplicate_layer_names():
+    # Tile.AddLayers errors on an already-present name
+    # (vendor/.../encoding/mvt/tile.go:16-35)
+    import pytest as _pytest
+    f = {"id": 1, "tags": {}, "geom": ("Point", np.array([1.0, 2.0]))}
+    with _pytest.raises(mvt.DuplicateLayerName):
+        mvt.encode_tile([("roads", [f]), ("roads", [f])])
+    # duplicate detection also sees through pre-encoded layer bytes
+    blob = mvt.encode_layer("water", [f])
+    with _pytest.raises(mvt.DuplicateLayerName):
+        mvt.encode_tile([blob, ("water", [f])])
+    # distinct names stay fine, mixed forms included
+    out = mvt.encode_tile([blob, ("roads", [f])])
+    assert set(mvt.decode_tile(out).keys()) == {"water", "roads"}
+
+
+def test_wkb_geometry_collection_roundtrip():
+    from tegola_spark.functions import wkb
+    coll = ("GeometryCollection", [
+        ("Point", np.array([1.0, 2.0])),
+        ("Polygon", [np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 0.0]])]),
+        ("GeometryCollection", [("Point", np.array([5.0, 6.0]))]),
+    ])
+    out = wkb.decode(wkb.encode(coll))
+    assert out[0] == "GeometryCollection" and len(out[1]) == 3
+    assert out[1][0][0] == "Point" and out[1][2][1][0][0] == "Point"
+    # bbox unions members; flatten yields 3 leaf geometries
+    assert wkb.bbox(coll) == (0.0, 0.0, 5.0, 6.0)
+    assert len(wkb.flatten_collection(coll)) == 3
+    assert wkb.bbox(("GeometryCollection", [])) is None
+    # map_coords recurses into members
+    shifted = wkb.map_coords(coll, lambda a: a + 1.0)
+    assert shifted[1][0][1][0] == 2.0

@@ -113,3 +113,36 @@ def test_feature_cap(spark, sf_dir):
 def test_tile_list():
     df_rows = grid.tiles_for_bounds(-180, -85.0511, 180, 85.0511, [2])
     assert len(df_rows) == 16
+
+
+def test_geometry_collection_flattens_and_empty_skips():
+    """GeometryCollection features: empty -> skipped (atlas/map.go:232-236);
+    non-empty -> flattened into one feature per member with shared tags
+    (mvt.NewFeatures, mvt/feature.go:48-67)."""
+    import pandas as pd
+    from tegola_spark.functions import wkb
+
+    ext = grid.tile_extent_3857(0, 0, 0)
+    cx = (ext[0] + ext[2]) / 2
+    coll = ("GeometryCollection", [
+        ("Point", np.array([10.0, 10.0])),
+        ("LineString", np.array([[0.0, 0.0], [40.0, 20.0], [80.0, 0.0]])),
+    ])
+    empty = ("GeometryCollection", [])
+    pdf = pd.DataFrame({
+        "z": [0, 0], "x": [0, 0], "y": [0, 0],
+        "layer": ["l", "l"], "feature_id": [1, 2],
+        "geom": [wkb.encode(coll), wkb.encode(empty)],
+        "srid": [4326, 4326],
+        "tag_kind": ["coll", "empty"],
+    })
+    out = pipeline.encode_bucket(pdf)
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n_features"] == 2       # the two flattened members
+    assert row["n_dropped"] == 1        # the empty collection
+    decoded = mvt.decode_tile(bytes(row["layer_bytes"]))["l"]
+    types = sorted(f["type"] for f in decoded["features"])
+    assert types == [mvt.GEOM_POINT, mvt.GEOM_LINESTRING]
+    # both flattened features carry the same id and tags
+    assert all(f["id"] == 1 for f in decoded["features"])

@@ -90,3 +90,58 @@ def test_wkt_known_strings():
     assert wkt.encode(("Point", np.array([1.0, 2.0]))) == "POINT (1 2)"
     t, d = wkt.decode("POLYGON ((0 0,4 0,4 4,0 0),(1 1,2 1,2 2,1 1))")
     assert t == "Polygon" and len(d) == 2
+
+
+# -- P3 typed query parameters with defaults (query_parameter.go:21-65) ------
+
+def test_query_param_provided_value():
+    from tegola_spark.functions import tokens
+    p = tokens.QueryParameter("min_pop", "!MIN_POP!", "int", sql="pop >= ?")
+    assert str(p.resolve("1000")) == "pop >= 1000"
+
+
+def test_query_param_default_value_decoded_with_type():
+    from tegola_spark.functions import tokens
+    p = tokens.QueryParameter("min_pop", "!MIN_POP!", "int",
+                              sql="pop >= ?", default_value="50")
+    assert str(p.resolve(None)) == "pop >= 50"
+
+
+def test_query_param_default_sql_replaces_wholesale():
+    from tegola_spark.functions import tokens
+    p = tokens.QueryParameter("flt", "!FLT!", "string",
+                              sql="name = ?", default_sql="TRUE")
+    assert str(p.resolve(None)) == "TRUE"
+    # a provided value still uses the main sql
+    assert str(p.resolve("x'y")) == "name = 'x''y'"
+
+
+def test_query_param_required_missing_raises():
+    from tegola_spark.functions import tokens
+    import pytest as _pytest
+    p = tokens.QueryParameter("req", "!REQ!", "int", sql="a = ?")
+    with _pytest.raises(tokens.MissingParamError):
+        p.resolve(None)
+
+
+def test_query_param_empty_sql_normalizes_to_placeholder():
+    # Normalize (query_parameter.go:25-27): empty sql -> bare "?"
+    from tegola_spark.functions import tokens
+    p = tokens.QueryParameter("v", "v", "float")
+    assert str(p.resolve("2.5")) == "2.5"
+    assert p.token == "V"
+
+
+def test_resolve_params_into_replace_tokens():
+    from tegola_spark.functions import tokens
+    declared = [
+        tokens.QueryParameter("min_pop", "!MIN_POP!", "int",
+                              sql="pop >= ?", default_value="10"),
+        tokens.QueryParameter("cls", "!CLS!", "string",
+                              sql="class = ?", default_sql="TRUE"),
+    ]
+    frags = tokens.resolve_params(declared, {"min_pop": "99"})
+    sql = tokens.replace_tokens(
+        "SELECT * FROM t WHERE !BBOX! AND !MIN_POP! AND !CLS!",
+        z=1, x=0, y=0, params=frags)
+    assert "pop >= 99" in sql and "TRUE" in sql and "!" not in sql.split("WHERE")[1]
