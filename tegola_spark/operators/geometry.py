@@ -396,22 +396,37 @@ def clip_polygon_rect(rings, ext):
     return out
 
 
-def clean_geometry(geom, clip_region, repair: bool = False):
-    """validate.CleanGeometry analog (validate.go:101-146): lines get
-    the exact ported clip walk; polygons get rect clip by default, or
-    the full make-valid trapezoid sweep when ``repair=True`` (the
-    reference always repairs — validate.go:108-127; the sweep splits
-    every segment pair so it costs O(n^2) on vertex count, hence
-    opt-in per layer). clip_region None = no clipping (the DontClip
-    toggle, atlas/layer.go:21-29)."""
+def clean_geometry(geom, clip_region, repair: bool = True):
+    """validate.CleanGeometry (validate.go:101-146): lines get the
+    exact ported clip walk; polygons ALWAYS run the make-valid column
+    sweep — the reference has no valid/invalid branch — wrapped in the
+    x10 scale-up / x0.1 scale-down fixed-point trick (validate.go:104-111,
+    79-99) so intersection rounding lands on a 0.1-unit grid. The
+    hitmap is built from the scaled geometry with per-polygon ring
+    labels (hitmap.NewFromGeometry, hitmap.go:287-308). ``repair=False``
+    falls back to Sutherland-Hodgman rect clip (kept for the DontClean
+    layer toggle, atlas/layer.go:21-29 + map.go:307-314). clip_region
+    None = no clipping (DontClip)."""
     if geom is None:
         return None
     gtype, data = geom
     if repair and gtype in ("Polygon", "MultiPolygon"):
         from . import makevalid as MV
 
-        rings = data if gtype == "Polygon" else [r for p in data for r in p]
-        polys = MV.make_valid(rings, clip_ext=clip_region)
+        if gtype == "Polygon":
+            rings = [np.asarray(r, dtype=np.float64) * 10.0 for r in data]
+            labels = [i == 0 for i in range(len(rings))]
+        else:
+            rings = []
+            labels = []
+            for p in data:
+                for i, r in enumerate(p):
+                    rings.append(np.asarray(r, dtype=np.float64) * 10.0)
+                    labels.append(i == 0)
+        clip10 = None if clip_region is None else tuple(
+            v * 10.0 for v in clip_region)
+        polys = MV.make_valid(rings, clip_ext=clip10, labels=labels)
+        polys = [[np.asarray(r) * 0.10 for r in p] for p in polys]
         return ("MultiPolygon", polys) if polys else None
     if clip_region is None:
         return geom
@@ -475,37 +490,76 @@ def points_in_rings(points: np.ndarray, rings) -> np.ndarray:
     """Vectorized even-odd containment of ``points`` (n,2) in the union
     of ``rings`` (hitmap semantics: crossings counted over ALL segments
     of ALL rings; a point exactly on any edge is contained —
-    maths/hitmap/hitmap.go:108-196)."""
+    maths/hitmap/hitmap.go:108-196).
+
+    Vectorization regime picked by batch shape: large point batches
+    use a per-segment loop (vector width = n points, minimal
+    temporaries — measured faster than 2-D broadcast above ~4k points);
+    small batches against large rings broadcast points x segments in
+    blocks, so a 10k-vertex coastline polygon costs a handful of NumPy
+    passes, not 10k Python iterations per batch."""
     points = np.asarray(points, dtype=np.float64)
     n = len(points)
     if n == 0:
         return np.zeros(0, dtype=bool)
     inside = np.zeros(n, dtype=bool)
     on_edge = np.zeros(n, dtype=bool)
-    px = points[:, 0]
-    py = points[:, 1]
+    if n >= 4096:
+        px = points[:, 0]
+        py = points[:, 1]
+        for ring in rings:
+            ring = np.asarray(ring, dtype=np.float64)
+            if len(ring) < 3:
+                continue
+            x0 = ring[:, 0]
+            y0 = ring[:, 1]
+            x1 = np.roll(x0, -1)
+            y1 = np.roll(y0, -1)
+            for (ax, ay, bx, by) in zip(x0, y0, x1, y1):
+                # crossing test (half-open on y to handle vertices once)
+                cond = (ay > py) != (by > py)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = ax + (py - ay) * (bx - ax) / (by - ay)
+                cross = cond & (px < np.where(cond, xint, np.inf))
+                inside ^= cross
+                d = (bx - ax) * (py - ay) - (px - ax) * (by - ay)
+                within = (
+                    (np.minimum(ax, bx) <= px) & (px <= np.maximum(ax, bx))
+                    & (np.minimum(ay, by) <= py) & (py <= np.maximum(ay, by))
+                )
+                on_edge |= (d == 0) & within
+        return inside | on_edge
+    px = points[:, 0][None, :]
+    py = points[:, 1][None, :]
+    block = max(16, 4_000_000 // max(n, 1))
     for ring in rings:
         ring = np.asarray(ring, dtype=np.float64)
-        if len(ring) < 3:
+        m = len(ring)
+        if m < 3:
             continue
         x0 = ring[:, 0]
         y0 = ring[:, 1]
         x1 = np.roll(x0, -1)
         y1 = np.roll(y0, -1)
-        for (ax, ay, bx, by) in zip(x0, y0, x1, y1):
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            ax = x0[s:e, None]
+            ay = y0[s:e, None]
+            bx = x1[s:e, None]
+            by = y1[s:e, None]
             # crossing test (half-open on y to handle vertices once)
             cond = (ay > py) != (by > py)
             with np.errstate(divide="ignore", invalid="ignore"):
                 xint = ax + (py - ay) * (bx - ax) / (by - ay)
             cross = cond & (px < np.where(cond, xint, np.inf))
-            inside ^= cross
+            inside ^= (cross.sum(axis=0) & 1).astype(bool)
             # boundary test: collinear and within the segment bbox
             d = (bx - ax) * (py - ay) - (px - ax) * (by - ay)
             within = (
                 (np.minimum(ax, bx) <= px) & (px <= np.maximum(ax, bx))
                 & (np.minimum(ay, by) <= py) & (py <= np.maximum(ay, by))
             )
-            on_edge |= (d == 0) & within
+            on_edge |= ((d == 0) & within).any(axis=0)
     return inside | on_edge
 
 

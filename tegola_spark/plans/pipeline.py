@@ -85,7 +85,7 @@ def encode_layer_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def encode_bucket(pdf: pd.DataFrame, simplify: bool = False,
-                  repair: bool = False) -> pd.DataFrame:
+                  repair: bool = True) -> pd.DataFrame:
     """Bucketed grouped-map kernel: MANY (z, x, y, layer) groups per UDF
     invocation. groupBy on the raw tile-layer key pays one Python/Arrow
     round-trip per group — at z>=5 groups hold a handful of features
@@ -154,7 +154,7 @@ def _vectorized_points(pdf: pd.DataFrame, ext, clip_region, srid_mask) -> list:
 
 def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
                 layer: str, simplify: bool = False,
-                repair: bool = False) -> dict:
+                repair: bool = True) -> dict:
     ext = tuple(float(v) for v in grid.tile_extent_3857(z, x, y))
     clip_region = grid.buffered_pixel_bounds()
 
@@ -327,7 +327,7 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
                 with_debug: bool = False,
                 default_tags: dict | None = None,
                 simplify: bool = False,
-                repair_polygons: bool = False) -> tuple[DataFrame, DataFrame]:
+                repair_polygons: bool = True) -> tuple[DataFrame, DataFrame]:
     """Returns (layer_metrics_df, tiles_df).
 
     layer_metrics_df: one row per (z,x,y,layer) with blob + lineage.
