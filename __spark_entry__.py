@@ -189,6 +189,24 @@ def q_knn_brute(spark, sf_dir):
     return sj.knn_bruteforce(_points(spark, sf_dir), KNN_QUERIES, k=5)
 
 
+def q_knn_pages(spark, sf_dir):
+    """Large-query-set kNN: every page plus a shifted twin as queries
+    (|Q| = 2 x n_docs, >= 1000 at sf0.01), fully DataFrame-native —
+    per-query radius/kth-distance state lives in columns, nothing
+    per-query reaches the driver."""
+    from tegola_spark.operators import spatial_join as sj
+
+    pts = _points(spark, sf_dir)
+    q1 = pts.select(
+        F.col("doc_id").alias("query_id"),
+        F.col("lon").alias("qlon"), F.col("lat").alias("qlat"))
+    q2 = pts.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("query_id"),
+        (F.col("lon") + F.lit(0.5)).alias("qlon"),
+        (F.col("lat") - F.lit(0.25)).alias("qlat"))
+    return sj.knn_cell_ring_df(pts, q1.unionByName(q2), k=3)
+
+
 def q_mvt_tiles(spark, sf_dir):
     from tegola_spark.plans import pipeline
 
@@ -372,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_fanout_buffered": q_tile_fanout_buffered,
         "knn_cellring": q_knn_cellring,
         "knn_brute": q_knn_brute,
+        "knn_pages": q_knn_pages,
         "mvt_tiles": q_mvt_tiles,
         "mvt_layer_metrics": q_mvt_layer_metrics,
         "dedup_exact": q_dedup_exact,
@@ -499,6 +518,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_cellring": _knn_oracle(),
         "knn_brute": _knn_oracle(),
+        "knn_pages": f"""
+            WITH p AS ({GEO_POINTS_SQL}),
+            q AS (
+              SELECT doc_id AS query_id, lon AS qlon, lat AS qlat FROM p
+              UNION ALL
+              SELECT doc_id + 10000000 AS query_id, lon + 0.5 AS qlon,
+                     lat - 0.25 AS qlat FROM p
+            ), scored AS (
+              SELECT q.query_id, p.doc_id,
+                     (p.lon - q.qlon) * (p.lon - q.qlon)
+                     + (p.lat - q.qlat) * (p.lat - q.qlat) AS dist_sq
+              FROM p, q
+            ), ranked AS (
+              SELECT query_id, doc_id, dist_sq,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY dist_sq, doc_id) AS rank
+              FROM scored
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(rank AS INTEGER) AS rank, doc_id, dist_sq
+            FROM ranked WHERE rank <= 3
+        """,
         "raster_rollup": f"""
             SELECT 3 * 4503599627370496 + ({_tile_x_sql('lon', 3)}) * 67108864
                    + ({_tile_y_sql('lat', 3)}) AS cell,

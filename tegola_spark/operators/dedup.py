@@ -110,7 +110,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int = 8, shingle_k: int = 5,
-                      threshold: float = 0.8) -> DataFrame:
+                      threshold: float = 0.8,
+                      max_bucket: int = 4096) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) with estimated jaccard
     (signature agreement) >= threshold.
 
@@ -136,6 +137,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # 20x-replicated corpus).
     exploded = sigs.select("id", F.explode(F.array(*band_cols)).alias("bb")) \
                    .select("id", "bb.band", "bb.bucket")
+
+    # mega-bucket guard: N identical docs collide in every band and a
+    # single bucket of N ids is O(N^2) pairs — the one way this join
+    # degenerates at corpus scale. Buckets are deterministically capped
+    # (lowest ids kept); docs inside a capped bucket are near-identical
+    # to each other, so the kept subset still links every survivor and
+    # the dedup CONNECTIVITY loss is bounded to pathological buckets.
+    if max_bucket:
+        from pyspark.sql import Window as _W
+
+        wb = _W.partitionBy("band", "bucket").orderBy("id")
+        exploded = (
+            exploded.withColumn("_bk", F.row_number().over(wb))
+            .where(F.col("_bk") <= max_bucket).drop("_bk")
+        )
 
     pair_ids = (
         exploded.alias("l").join(exploded.alias("r"), ["band", "bucket"])
@@ -195,22 +211,38 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf(T.LongType())
     def sh(texts: pd.Series) -> pd.Series:
+        # Batch-vectorized: blake2b runs once per UNIQUE token in the
+        # Arrow batch (Zipf dedup — the per-token-per-doc loop this
+        # replaced re-hashed "the" thousands of times); the bit
+        # accumulation runs as 64 vectorized passes over the whole
+        # batch's token stream (no T x 64 matrix materialized).
+        # Output is bit-identical to the original per-doc loop.
+        texts = texts.fillna("")
+        tok_lists = [t.split() for t in texts]
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(out)
+        codes, uniques = pd.factorize(
+            pd.Series([tok for lst in tok_lists for tok in lst]))
+        uh = np.fromiter(
+            (int.from_bytes(blake2b(u.encode("utf-8"),
+                                    digest_size=8).digest(), "little")
+             for u in uniques), dtype=np.uint64, count=len(uniques))
+        hs = uh[codes]
+        nonempty = lens > 0
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        seg = starts[nonempty]
+        acc = np.empty((int(nonempty.sum()), 64), dtype=np.int64)
+        for b in range(64):
+            bits = ((hs >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            acc[:, b] = np.add.reduceat(2 * bits - 1, seg)
         shifts = np.arange(64, dtype=np.uint64)
-        out = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts.fillna("")):
-            toks = t.split()
-            if not toks:
-                out[i] = 0
-                continue
-            # C-speed token hashing; bit spreading vectorized over tokens
-            hs = np.array(
-                [int.from_bytes(blake2b(tok.encode("utf-8"),
-                                        digest_size=8).digest(), "little")
-                 for tok in toks], dtype=np.uint64)
-            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            acc = (2 * bits - 1).sum(axis=0)
-            fp = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
-            out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp
+        fp = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        out[nonempty] = fp.view(np.int64)
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))

@@ -188,6 +188,102 @@ def knn_cell_ring(points: DataFrame, queries, k: int, step_deg: float = 4.0,
         pts.unpersist()
 
 
+def knn_cell_ring_df(points: DataFrame, queries: DataFrame, k: int,
+                     step_deg: float = 4.0, id_col: str = "doc_id",
+                     broadcast_queries: bool = True,
+                     max_rounds: int = 8) -> DataFrame:
+    """Fully-distributed exact kNN for LARGE query sets: ``queries`` is
+    a DataFrame (query_id, qlon, qlat) and per-query state (radius, kth
+    distance) lives in DataFrame columns — never on the driver. The
+    only driver-side values per round are two scalars (total count,
+    number of under-filled queries).
+
+    Plan per round: disk cells explode as column expressions
+    (sequence(-r, r) x sequence(-r, r)), equi-join against the gridded
+    point table (broadcast when the query side is small; shuffled hash
+    join + AQE otherwise), window top-k. The initial radius comes from
+    a global density estimate so typical inputs converge in one round;
+    under-filled queries double their radius. The exactness pass grows
+    each radius to ceil(sqrt(d_k))/step + 1 — every point that could
+    beat the kth candidate lies inside that disk.
+
+    At 100 TB: the point table is scanned once per round (bounded by
+    ``max_rounds``, usually 2); no per-query driver loops, no O(|Q|*r^2)
+    driver lists — the scale-killer in knn_cell_ring's contract-sized
+    twin (reviewed round 1)."""
+    spark = points.sparkSession
+    pts = _grid_cols(points, step_deg).select(id_col, "lon", "lat", "_cx", "_cy")
+    pts.cache()
+    try:
+        total = pts.count()
+        k_eff = min(k, total)
+        n_cells = pts.select("_cx", "_cy").distinct().count()
+        density = total / max(n_cells, 1)
+        # (2r+1)^2 cells * density >= k  =>  r0
+        r0 = max(1, int(math.ceil((math.sqrt(k_eff / max(density, 1e-9)) - 1) / 2)))
+
+        q = (
+            queries.select("query_id", "qlon", "qlat")
+            .withColumn("_qcx", F.floor((F.col("qlon") + 180.0) / F.lit(step_deg)).cast("long"))
+            .withColumn("_qcy", F.floor((F.col("qlat") + 90.0) / F.lit(step_deg)).cast("long"))
+            .withColumn("r", F.lit(r0))
+        )
+
+        def pass_topk(qdf: DataFrame) -> DataFrame:
+            cand_cells = (
+                qdf.withColumn("_dx", F.explode(F.sequence(-F.col("r"), F.col("r"))))
+                .withColumn("_dy", F.explode(F.sequence(-F.col("r"), F.col("r"))))
+                .select(
+                    "query_id", "qlon", "qlat",
+                    (F.col("_qcx") + F.col("_dx")).alias("_cx"),
+                    (F.col("_qcy") + F.col("_dy")).alias("_cy"),
+                )
+            )
+            if broadcast_queries:
+                cand_cells = F.broadcast(cand_cells)
+            cand = pts.join(cand_cells, ["_cx", "_cy"], "inner")
+            dlon = F.col("lon") - F.col("qlon")
+            dlat = F.col("lat") - F.col("qlat")
+            dist = (dlon * dlon + dlat * dlat).alias("dist_sq")
+            w = Window.partitionBy("query_id").orderBy("dist_sq", id_col)
+            return (
+                cand.select("query_id", id_col, dist)
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k_eff)
+            )
+
+        for _ in range(max_rounds):
+            stats = (
+                pass_topk(q).groupBy("query_id")
+                .agg(F.count("*").alias("_n"), F.max("dist_sq").alias("_dk"))
+            )
+            q = (
+                q.drop("_n", "_dk")
+                .join(stats, "query_id", "left")
+                .withColumn("_n", F.coalesce(F.col("_n"), F.lit(0)))
+            )
+            q.cache()
+            n_under = q.where(F.col("_n") < k_eff).count()
+            if n_under == 0:
+                break
+            q = q.withColumn(
+                "r", F.when(F.col("_n") < k_eff, F.col("r") * 2).otherwise(F.col("r")))
+        else:  # pragma: no cover
+            raise RuntimeError("knn radius growth did not converge")
+
+        # exactness pass: the kth-candidate distance bounds the true disk
+        q_safe = q.withColumn(
+            "r",
+            F.greatest(
+                F.col("r"),
+                (F.ceil(F.sqrt(F.col("_dk")) / F.lit(step_deg)) + 1).cast("long"),
+            ),
+        )
+        return pass_topk(q_safe).select("query_id", "rank", id_col, "dist_sq")
+    finally:
+        pts.unpersist()
+
+
 def knn_bruteforce(points: DataFrame, queries, k: int,
                    id_col: str = "doc_id") -> DataFrame:
     """Reference implementation: broadcast cross join + window top-k.

@@ -208,9 +208,13 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
     body = mvt.encode_layer(layer, feats)
     blob = mvt.encode_tile([body])  # wrap as field-3 record
     ms = (time.perf_counter() - t0) * 1000.0
+    # rows removed by the pre-shuffle feature cap (build_tiles) carry
+    # their count on every surviving row of the group
+    cap_dropped = int(pdf["_cap_dropped"].iloc[0]) \
+        if "_cap_dropped" in pdf.columns and len(pdf) else 0
     return {
         "z": z, "x": x, "y": y, "layer": layer, "layer_bytes": blob,
-        "n_features": len(feats), "n_dropped": n_in - len(feats),
+        "n_features": len(feats), "n_dropped": n_in - len(feats) + cap_dropped,
         "bytes": len(blob), "encode_ms": ms,
     }
 
@@ -321,8 +325,19 @@ def merge_default_tags(feats: DataFrame, default_tags: dict) -> DataFrame:
     return out
 
 
+# default per-(tile, layer) feature budgets: a z0..4 tile-layer group
+# holds the whole corpus's features at 100 TB, and the grouped-map
+# encode materializes its group in ONE python worker's RAM via Arrow —
+# an unbounded low-zoom group is an OOM, not a slowdown. The JVM window
+# that enforces the cap sorts spillable, so it is safe where the pandas
+# group is not. The reference only WARNS at 500 KB per tile
+# (server/handle_map_layer_zxy.go:229-238); a batch engine must enforce.
+CAP_LOW_ZOOM = 65536     # z <= 4
+CAP_HIGH_ZOOM = 1048576  # z >= 5 safety net (skewed hot tiles)
+
+
 def build_tiles(spark: SparkSession, sf_dir: str, zooms,
-                max_features_per_tile: int | None = None,
+                max_features_per_tile="auto",
                 with_polygons: bool = True, docs=None,
                 with_debug: bool = False,
                 default_tags: dict | None = None,
@@ -332,6 +347,11 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
 
     layer_metrics_df: one row per (z,x,y,layer) with blob + lineage.
     tiles_df: one row per (z,x,y) with the assembled MVT tile bytes.
+
+    ``max_features_per_tile``: "auto" (default) applies the zoom-scaled
+    budgets above; an int fixes one budget for every zoom; None disables
+    capping entirely. Drops are deterministic (rank by feature_id) and
+    metered in the metrics' ``n_dropped`` lineage column.
     """
     pts = tiling.assign_point_tiles(point_features(spark, sf_dir, docs=docs), zooms)
     pts = pts.select(*FEATURE_COLS)
@@ -354,11 +374,24 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
     if default_tags:
         feats = merge_default_tags(feats, default_tags)
 
-    if max_features_per_tile:
+    if max_features_per_tile == "auto":
+        cap = F.when(F.col("z") <= 4, F.lit(CAP_LOW_ZOOM)) \
+               .otherwise(F.lit(CAP_HIGH_ZOOM))
+    elif max_features_per_tile:
+        cap = F.lit(int(max_features_per_tile))
+    else:
+        cap = None
+    if cap is not None:
+        # rank + group count share one window spec (single sort);
+        # cap-dropped rows never reach the encode shuffle, but their
+        # count rides along on the kept rows for n_dropped lineage
         w = Window.partitionBy("z", "x", "y", "layer").orderBy("feature_id")
+        wc = Window.partitionBy("z", "x", "y", "layer")
         feats = (
             feats.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") <= max_features_per_tile).drop("_rk")
+            .withColumn("_cap_dropped",
+                        F.greatest(F.lit(0), F.count("*").over(wc) - cap))
+            .where(F.col("_rk") <= cap).drop("_rk")
         )
 
     # 4x shuffle partitions: finer buckets = better straggler balance in

@@ -146,3 +146,29 @@ def test_geometry_collection_flattens_and_empty_skips():
     assert types == [mvt.GEOM_POINT, mvt.GEOM_LINESTRING]
     # both flattened features carry the same id and tags
     assert all(f["id"] == 1 for f in decoded["features"])
+
+
+def test_feature_cap_enforced_and_metered(spark, sf_dir):
+    """Pre-shuffle per-(tile, layer) cap: deterministic (rank by
+    feature_id), capped rows never reach the encode, and the drop count
+    rides into the n_dropped lineage column."""
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    metrics, _ = pipeline.build_tiles(spark, sf_dir, zooms=[0],
+                                      max_features_per_tile=3,
+                                      with_polygons=False)
+    row = metrics.where("z = 0 AND layer = 'pages'").first()
+    assert row["n_features"] == 3
+    assert row["n_dropped"] == n_docs - 3
+    # deterministic: the 3 kept are the lowest feature_ids
+    from tegola_spark.operators import mvt as mvt_ops
+    decoded = mvt_ops.decode_tile(bytes(row["layer_bytes"]))["pages"]
+    ids = sorted(f["id"] for f in decoded["features"])
+    assert ids == [0, 1, 2]
+
+
+def test_feature_cap_auto_default_no_effect_at_test_scale(spark, sf_dir):
+    """'auto' budgets (65536 at z<=4) leave small corpora untouched."""
+    metrics, _ = pipeline.build_tiles(spark, sf_dir, zooms=[0],
+                                      with_polygons=False)
+    row = metrics.where("z = 0 AND layer = 'pages'").first()
+    assert row["n_dropped"] == 0

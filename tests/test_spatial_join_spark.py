@@ -76,3 +76,19 @@ def test_knn_k_larger_than_population(spark):
         "doc_id": [1, 2, 3], "lon": [0.0, 1.0, 2.0], "lat": [0.0, 0.0, 0.0]}))
     got = sj.knn_cell_ring(small, [(0, 0.0, 0.0)], k=10)
     assert got.count() == 3
+
+
+def test_knn_cell_ring_df_matches_bruteforce(spark, points):
+    """DataFrame-native kNN (queries as a DataFrame, no driver-side
+    per-query state) must agree exactly with the brute-force baseline."""
+    pts = points
+    qlist = [(0, 12.5, 48.1), (1, -73.9, 40.7), (2, 139.7, 35.6),
+             (3, -0.1, 51.5), (4, 151.2, -33.8), (5, 0.0, 0.0)]
+    qdf = spark.createDataFrame(qlist, "query_id long, qlon double, qlat double")
+    got = sj.knn_cell_ring_df(pts, qdf, k=4).orderBy("query_id", "rank").collect()
+    want = sj.knn_bruteforce(pts, qlist, k=4).orderBy("query_id", "rank").collect()
+    assert len(got) == len(want) == 6 * 4
+    for g, w in zip(got, want):
+        assert (g["query_id"], g["rank"], g["doc_id"]) == \
+               (w["query_id"], w["rank"], w["doc_id"])
+        assert abs(g["dist_sq"] - w["dist_sq"]) == 0.0
