@@ -411,9 +411,10 @@ def _packed_u32(field: int, values) -> bytes:
 
 def encode_value(v) -> bytes:
     """E6 — layer.go:133-192 type mapping. Python types: str->string(1),
-    bool->bool(7), int->int_value(4, int64), float->double(3),
-    np.float32->float(2). bool checked before int (bool is an int in
-    Python)."""
+    bool->bool(7), int in int64 range->int_value(4), int beyond
+    int64->uint_value(5) (the Go uint64 arm, layer.go:180-181),
+    float->double(3), np.float32->float(2). bool checked before int
+    (bool is an int in Python)."""
     if isinstance(v, str):
         b = v.encode("utf-8")
         return _len_delim(1, b)
@@ -424,7 +425,10 @@ def encode_value(v) -> bytes:
     if isinstance(v, (float, np.floating)):
         return _tag(3, 1) + struct.pack("<d", float(v))
     if isinstance(v, (int, np.integer)):
-        return _tag(4, 0) + _varint(int(np.int64(v)) & 0xFFFFFFFFFFFFFFFF)
+        iv = int(v)
+        if iv > 0x7FFFFFFFFFFFFFFF:
+            return _tag(5, 0) + _varint(iv & 0xFFFFFFFFFFFFFFFF)
+        return _tag(4, 0) + _varint(iv & 0xFFFFFFFFFFFFFFFF)
     raise TypeError(f"unsupported tag value type {type(v)!r}")
 
 

@@ -97,3 +97,16 @@ def layer_catalog(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         rows, "map_name string, layer string, source string, "
               "min_zoom int, max_zoom int, dont_simplify boolean, dont_clip boolean")
+
+
+def infer_geom_type(df: DataFrame, geom_col: str = "geom"):
+    """S3 — inspectLayerGeomType (provider/postgis/postgis.go:468-565):
+    when a layer's geometry type is not declared in config, probe ONE
+    row and read its type. The reference rewrites ST_AsBinary ->
+    ST_GeometryType + LIMIT 1 against the database; the Spark analog is
+    a limit(1) scan decoding the WKB type code. Returns None for an
+    empty layer (the reference errors in that case; callers decide)."""
+    rows = df.select(geom_col).where(F.col(geom_col).isNotNull()).limit(1).collect()
+    if not rows:
+        return None
+    return wkb.decode(bytes(rows[0][0]))[0]

@@ -269,3 +269,12 @@ def test_wkb_geometry_collection_roundtrip():
     # map_coords recurses into members
     shifted = wkb.map_coords(coll, lambda a: a + 1.0)
     assert shifted[1][0][1][0] == 2.0
+
+
+def test_uint64_value_variant():
+    # layer.go:180-181: uint64 values beyond int64 emit uint_value
+    f = {"id": 1, "tags": {"big": 2**63 + 5, "small": 42}, "geom": ("Point", np.array([1.0, 2.0]))}
+    out = mvt.decode_tile(mvt.encode_tile([("l", [f])]))["l"]
+    vals = set(out["values"])
+    assert 2**63 + 5 in vals       # decoded via the uint arm (field 5)
+    assert 42 in vals

@@ -92,3 +92,11 @@ def test_knn_cell_ring_df_matches_bruteforce(spark, points):
         assert (g["query_id"], g["rank"], g["doc_id"]) == \
                (w["query_id"], w["rank"], w["doc_id"])
         assert abs(g["dist_sq"] - w["dist_sq"]) == 0.0
+
+
+def test_infer_geom_type_probe(spark, sf_dir):
+    # S3 LIMIT-1 probe (inspectLayerGeomType analog)
+    nat = layers.nation_layer(spark, sf_dir)
+    assert layers.infer_geom_type(nat) == "Polygon"
+    empty = nat.where("1 = 0")
+    assert layers.infer_geom_type(empty) is None
