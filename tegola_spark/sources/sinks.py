@@ -33,21 +33,38 @@ def write_tiles(tiles: DataFrame, metrics: DataFrame, path: str,
                 mode: str = "append") -> dict:
     """Write the tile table + metrics table + a manifest entry.
 
-    Returns the manifest record (the Iceberg-snapshot stand-in)."""
-    (tiles
-     .repartition("z")
-     .sortWithinPartitions("x", "y")
-     .write.mode(mode).partitionBy("z").parquet(os.path.join(path, "tiles")))
-    (metrics
-     .write.mode(mode).partitionBy("z").parquet(os.path.join(path, "_metrics")))
-    spark = tiles.sparkSession
-    done = spark.read.parquet(os.path.join(path, "tiles"))
+    Returns the manifest record (the Iceberg-snapshot stand-in). The
+    manifest counts THIS batch (one aggregate over the batch being
+    written, computed pre-write from the same plan); cumulative totals
+    come from summing manifest records — re-scanning the whole sink per
+    batch is a full read of all historical output (reviewed round 1)."""
+    tiles = tiles.cache()
+    try:
+        batch = tiles.agg(
+            F.count("*").alias("n"),
+            F.collect_set("z").alias("zs")).first()
+        (tiles
+         .repartition("z")
+         .sortWithinPartitions("x", "y")
+         .write.mode(mode).partitionBy("z").parquet(os.path.join(path, "tiles")))
+        (metrics
+         .write.mode(mode).partitionBy("z").parquet(os.path.join(path, "_metrics")))
+    finally:
+        tiles.unpersist()
+    manifest = os.path.join(path, "manifest.jsonl")
+    prev_total = 0
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            for line in f:
+                prev_total = json.loads(line).get("n_tiles_total", 0) or prev_total
+    if mode == "overwrite":
+        prev_total = 0
     rec = {
         "ts": time.time(),
-        "n_tiles": done.count(),
-        "zooms": [r["z"] for r in done.select("z").distinct().orderBy("z").collect()],
+        "n_tiles": int(batch["n"]),
+        "n_tiles_total": prev_total + int(batch["n"]),
+        "zooms": sorted(int(z) for z in batch["zs"]),
     }
-    manifest = os.path.join(path, "manifest.jsonl")
     with open(manifest, "a") as f:
         f.write(json.dumps(rec) + "\n")
     return rec

@@ -42,3 +42,16 @@ def test_remaining_work(spark, sf_dir, tmp_path):
     checkpoint.seed_tiles(spark, sf_dir, out, zooms=[0])
     rem = sinks.remaining_work(work, spark, out).collect()
     assert {(r["z"], r["x"], r["y"]) for r in rem} == {(1, 0, 0), (1, 1, 1)}
+
+
+def test_manifest_counts_batch_not_whole_sink(spark, sf_dir, tmp_path):
+    """write_tiles must count the batch being written, not rescan all
+    historical output (a full sink read per batch at scale)."""
+    import json
+    out = str(tmp_path / "sink3")
+    checkpoint.seed_tiles(spark, sf_dir, out, zooms=[0, 1])
+    checkpoint.seed_tiles(spark, sf_dir, out, zooms=[0, 1, 2])
+    recs = [json.loads(l) for l in open(os.path.join(out, "manifest.jsonl"))]
+    assert [r["n_tiles"] for r in recs] == [5, 16]     # per-batch counts
+    assert recs[-1]["n_tiles_total"] == 21             # cumulative from manifest
+    assert recs[0]["zooms"] == [0, 1] and recs[-1]["zooms"] == [2]
