@@ -86,10 +86,12 @@ def run_bench(sf_dir: str, cpus: int, zooms=range(0, 6), scale_mult: int = 1) ->
         corpus.col_lat(F.col("doc_id")).alias("lat"))
 
     n_tiles = {}
+    hierarchical = os.environ.get("SPARK_GRAFT_HIERARCHICAL", "") == "1"
 
     def tile_pipeline():
-        metrics, tiles = pipeline.build_tiles(spark, sf_dir, zooms=list(zooms),
-                                              docs=docs)
+        build = (pipeline.build_tiles_hierarchical if hierarchical
+                 else pipeline.build_tiles)
+        metrics, tiles = build(spark, sf_dir, zooms=list(zooms), docs=docs)
         row = tiles.agg(F.count("*"), F.sum("tile_len"), F.sum("n_features")).first()
         n_tiles["tiles"] = row[0]
         n_tiles["bytes"] = row[1]

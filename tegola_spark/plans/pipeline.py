@@ -336,13 +336,31 @@ CAP_LOW_ZOOM = 65536     # z <= 4
 CAP_HIGH_ZOOM = 1048576  # z >= 5 safety net (skewed hot tiles)
 
 
+def assemble_tiles(metrics: DataFrame) -> DataFrame:
+    """Tile assembly: byte concat in deterministic layer-name order
+    (the S6 `||` concat — provider/postgis/postgis.go:398-400)."""
+    return (
+        metrics.groupBy("z", "x", "y")
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(layer, "
+                "layer_bytes))), s -> s.layer_bytes), X'', (acc, b) -> acc || b)"
+            ).alias("tile_bytes"),
+            F.sum("n_features").alias("n_features"),
+            F.count("*").alias("n_layers"),
+        )
+        .withColumn("tile_len", F.length("tile_bytes"))
+    )
+
+
 def build_tiles(spark: SparkSession, sf_dir: str, zooms,
                 max_features_per_tile="auto",
                 with_polygons: bool = True, docs=None,
                 with_debug: bool = False,
                 default_tags: dict | None = None,
                 simplify: bool = False,
-                repair_polygons: bool = True) -> tuple[DataFrame, DataFrame]:
+                repair_polygons: bool = True,
+                point_zooms=None) -> tuple[DataFrame, DataFrame]:
     """Returns (layer_metrics_df, tiles_df).
 
     layer_metrics_df: one row per (z,x,y,layer) with blob + lineage.
@@ -352,10 +370,18 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
     budgets above; an int fixes one budget for every zoom; None disables
     capping entirely. Drops are deterministic (rank by feature_id) and
     metered in the metrics' ``n_dropped`` lineage column.
+
+    ``point_zooms``: zooms the POINT layer fans out to (default: same
+    as ``zooms``); build_tiles_hierarchical passes the low zooms here
+    and derives the deep zooms from one anchor shuffle.
     """
-    pts = tiling.assign_point_tiles(point_features(spark, sf_dir, docs=docs), zooms)
-    pts = pts.select(*FEATURE_COLS)
-    feats = pts
+    pzooms = list(zooms) if point_zooms is None else list(point_zooms)
+    if pzooms:
+        pts = tiling.assign_point_tiles(
+            point_features(spark, sf_dir, docs=docs), pzooms)
+        feats = pts.select(*FEATURE_COLS)
+    else:
+        feats = None
     if with_polygons:
         # zoom pruning from the layer catalog (P4) — regions capped at z<=6
         cat = {r["layer"]: (r["min_zoom"], r["max_zoom"])
@@ -366,10 +392,14 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
             c = (F.col("layer") == name) & (F.col("z") >= lo) & (F.col("z") <= hi)
             cond = c if cond is None else (cond | c)
         polys = polys.where(cond).select(*FEATURE_COLS)
-        feats = feats.unionByName(polys)
+        feats = polys if feats is None else feats.unionByName(polys)
 
     if with_debug:
-        feats = feats.unionByName(debug_features(spark, zooms))
+        dbg = debug_features(spark, zooms)
+        feats = dbg if feats is None else feats.unionByName(dbg)
+    if feats is None:
+        raise ValueError("build_tiles: nothing to build "
+                         "(no point zooms, polygons or debug layers)")
 
     if default_tags:
         feats = merge_default_tags(feats, default_tags)
@@ -407,18 +437,123 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
         .groupBy("_bucket")
         .applyInPandas(_encode, ENCODE_SCHEMA)
     )
+    return metrics, assemble_tiles(metrics)
 
-    # tile assembly: byte concat in deterministic layer-name order
-    tiles = (
-        metrics.groupBy("z", "x", "y")
-        .agg(
-            F.expr(
-                "aggregate(transform(array_sort(collect_list(struct(layer, "
-                "layer_bytes))), s -> s.layer_bytes), X'', (acc, b) -> acc || b)"
-            ).alias("tile_bytes"),
-            F.sum("n_features").alias("n_features"),
-            F.count("*").alias("n_layers"),
-        )
-        .withColumn("tile_len", F.length("tile_bytes"))
+
+def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
+                          simplify: bool, repair: bool) -> pd.DataFrame:
+    """Grouped-map kernel over anchor-tile buckets: derive every
+    descendant (z, x, y) membership for z in ``zooms_hi`` locally (pure
+    NumPy — the same spherical world-coord + 3x3 buffered-duplication
+    predicate as tiling.assign_point_tiles), filter to tiles whose
+    z-``anchor_z`` ancestor IS this anchor (each deep tile is produced
+    by exactly one anchor; the anchor-level buffered duplication
+    guarantees the full buffered feature set is present, because buffer
+    distance in meters shrinks with zoom), then encode each
+    (z, x, y, layer) with the standard kernel."""
+    rows = []
+    buf = tiling.BUFFER_FRAC
+    for (ax, ay), g in pdf.groupby(["x", "y"], sort=True):
+        lon = g["lon"].to_numpy(dtype=np.float64)
+        lat = g["lat"].to_numpy(dtype=np.float64)
+        phi = lat * (np.pi / 180.0)
+        ymerc = np.log(np.tan(np.pi / 4.0 + phi / 2.0))
+        for z in zooms_hi:
+            n = 1 << z
+            dz = z - anchor_z
+            wx = (lon + 180.0) / 360.0 * float(n)
+            wy = (0.5 - ymerc / (2.0 * np.pi)) * float(n)
+            fx = np.floor(wx)
+            fy = np.floor(wy)
+            idx_all = []
+            tx_all = []
+            ty_all = []
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    tx = (fx + dx).astype(np.int64)
+                    ty = (fy + dy).astype(np.int64)
+                    keep = (
+                        (tx >= 0) & (tx < n) & (ty >= 0) & (ty < n)
+                        & (wx >= tx - buf) & (wx <= tx + 1 + buf)
+                        & (wy >= ty - buf) & (wy <= ty + 1 + buf)
+                        & ((tx >> dz) == ax) & ((ty >> dz) == ay)
+                    )
+                    k = np.nonzero(keep)[0]
+                    if len(k):
+                        idx_all.append(k)
+                        tx_all.append(tx[k])
+                        ty_all.append(ty[k])
+            if not idx_all:
+                continue
+            idx = np.concatenate(idx_all)
+            txs = np.concatenate(tx_all)
+            tys = np.concatenate(ty_all)
+            # ONE take + ONE C-speed groupby per (anchor, zoom) — a
+            # per-tile .iloc loop cost more than the shuffle it saved
+            # (measured 457s vs 421s at 1.28M tiles)
+            exploded = g.take(idx)
+            exploded["_tx"] = txs
+            exploded["_ty"] = tys
+            for (tx, ty, layer), lg in exploded.groupby(
+                    ["_tx", "_ty", "layer"], sort=True):
+                rows.append(_encode_one(
+                    lg, time.perf_counter(), z, int(tx), int(ty),
+                    layer, simplify=simplify, repair=repair))
+    return pd.DataFrame(rows, columns=_METRIC_COLS)
+
+
+def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
+                             anchor_z: int | None = None,
+                             docs=None, with_polygons: bool = True,
+                             simplify: bool = False,
+                             repair_polygons: bool = True,
+                             max_features_per_tile="auto"
+                             ) -> tuple[DataFrame, DataFrame]:
+    """Single-shuffle tile build for deep zooms: the standard
+    build_tiles fans the POINT corpus out once per zoom (|zooms| full
+    corpus shuffles — the bottleneck at 100 TB); here points shuffle
+    ONCE on their ``anchor_z`` tile (plus ~30% buffered duplication) and
+    every deeper zoom's membership + encode happens inside the anchor
+    group. Low zooms (< anchor_z, bounded by the feature caps) and the
+    small polygon layers keep the standard path; outputs are
+    byte-identical to build_tiles (differentially tested).
+
+    ``anchor_z`` trades shuffle volume against anchor-group memory:
+    group rows ~= corpus / 4^anchor_z. Default max(4, max(zooms) - 6);
+    at 10^12 docs use 10-12.
+    """
+    zooms = sorted(zooms)
+    if anchor_z is None:
+        anchor_z = max(4, max(zooms) - 6)
+    zooms_hi = [z for z in zooms if z >= anchor_z]
+    zooms_lo = [z for z in zooms if z < anchor_z]
+    if not zooms_hi:
+        return build_tiles(spark, sf_dir, zooms, docs=docs,
+                           with_polygons=with_polygons, simplify=simplify,
+                           repair_polygons=repair_polygons,
+                           max_features_per_tile=max_features_per_tile)
+
+    # standard path: polygons at ALL zooms + points at low zooms only
+    std_metrics, _ = build_tiles(
+        spark, sf_dir, zooms, docs=docs, with_polygons=with_polygons,
+        simplify=simplify, repair_polygons=repair_polygons,
+        max_features_per_tile=max_features_per_tile, point_zooms=zooms_lo)
+
+    # hierarchical path: ONE anchor shuffle for all deep point zooms
+    pts = point_features(spark, sf_dir, docs=docs)
+    anchored = tiling.assign_point_tiles(pts, [anchor_z]) \
+        .select(*FEATURE_COLS, "lon", "lat")
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _encode_anchor_bucket(pdf, anchor_z, zooms_hi,
+                                     simplify, repair_polygons)
+
+    hier_metrics = (
+        anchored.withColumn(
+            "_bucket", F.pmod(F.hash("x", "y"), F.lit(n_buckets)))
+        .groupBy("_bucket")
+        .applyInPandas(_encode, ENCODE_SCHEMA)
     )
-    return metrics, tiles
+    metrics = std_metrics.unionByName(hier_metrics)
+    return metrics, assemble_tiles(metrics)
