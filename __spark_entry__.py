@@ -223,6 +223,19 @@ def q_mvt_layer_metrics(spark, sf_dir):
     return metrics.select("z", "x", "y", "layer", "n_features", "n_dropped", "bytes")
 
 
+def q_mvt_tiles_hier(spark, sf_dir):
+    """Single-shuffle hierarchical build (anchor_z=1 exercises the deep
+    path at these zooms) — tiles are byte-identical to q_mvt_tiles, so
+    the two entries' md5 columns must agree row-for-row."""
+    from tegola_spark.plans import pipeline
+
+    _, tiles = pipeline.build_tiles_hierarchical(
+        spark, sf_dir, zooms=[0, 1, 2], anchor_z=1)
+    return tiles.select(
+        "z", "x", "y", "n_layers", "n_features", "tile_len",
+        F.md5("tile_bytes").alias("tile_md5"))
+
+
 def q_dedup_exact(spark, sf_dir):
     from tegola_spark.operators import dedup
     from tegola_spark.sources import corpus
@@ -393,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pages": q_knn_pages,
         "mvt_tiles": q_mvt_tiles,
         "mvt_layer_metrics": q_mvt_layer_metrics,
+        "mvt_tiles_hier": q_mvt_tiles_hier,
         "dedup_exact": q_dedup_exact,
         "dedup_norm": q_dedup_norm,
         "token_stats": q_token_stats,
