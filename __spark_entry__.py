@@ -346,6 +346,18 @@ def q_multimodal_decode(spark, sf_dir):
                       "height", "n_frames")
 
 
+def q_similarity_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN (deterministic k-means cells, nprobe
+    probing, exact re-rank within probed cells) — rows-only like the
+    LSH variant; recall vs brute force asserted in tests."""
+    from tegola_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = emb.select(F.size("embedding")).first()[0]
+    return similarity.ivf_ann_topk(emb, SIM_QUERY_IDS, k=5, dim=dim,
+                                   n_centroids=16, nprobe=4)
+
+
 def q_raster_rollup(spark, sf_dir):
     """rasterize at res 6 then resample (parent rollup) to res 3 —
     equals direct rasterization at res 3 (oracle computes the latter)."""
@@ -416,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "embedding_norms": q_embedding_norms,
         "similarity_ann": q_similarity_ann,
+        "similarity_ivf": q_similarity_ivf,
         "raster_rollup": q_raster_rollup,
         "raster_vectorize": q_raster_vectorize,
         "minhash_pairs": q_minhash_pairs,

@@ -133,3 +133,94 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 0,
         cand.withColumn("score", cos).where(F.col("score") >= threshold)
         .select("id_a", "id_b", F.round("score", 6).alias("score_r6"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(emb: DataFrame, n_centroids: int, dim: int,
+                        n_iter: int = 3, id_col: str = "vec_id",
+                        emb_col: str = "embedding") -> np.ndarray:
+    """Deterministic k-means coarse quantizer, Lloyd iterations as
+    DataFrame jobs. Init = the n_centroids lowest-id vectors (seedless,
+    reproducible). Per iteration: assignment is one vectorized pandas
+    UDF pass (mat @ C.T, L2); the mean-update is a posexplode +
+    groupBy(cid, pos) aggregation — only the (n_centroids x dim) model
+    crosses to the driver between iterations, never the data."""
+    cents = np.vstack(
+        [np.asarray(r[emb_col], dtype=np.float64)
+         for r in emb.orderBy(id_col).limit(n_centroids).collect()])
+
+    for _ in range(n_iter):
+        assigned = ivf_assign(emb, cents, emb_col=emb_col)
+        rows = (
+            assigned.select("_cid", F.posexplode(emb_col).alias("_pos", "_v"))
+            .groupBy("_cid", "_pos").agg(F.avg("_v").alias("m"))
+            .collect()
+        )
+        nxt = cents.copy()  # empty cells keep their previous centroid
+        for r in rows:
+            nxt[r["_cid"], r["_pos"]] = r["m"]
+        cents = nxt
+    return cents
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               emb_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid id per vector (vectorized, broadcast model)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    c_sq = (cents * cents).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def cid(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        # argmin ||x - c||^2 = argmin (||c||^2 - 2 x.c)
+        d = c_sq[None, :] - 2.0 * (mat @ cents.T)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return emb.withColumn("_cid", cid(F.col(emb_col)))
+
+
+def ivf_ann_topk(emb: DataFrame, query_ids, k: int, dim: int,
+                 n_centroids: int = 16, nprobe: int = 3, n_iter: int = 3,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF ANN: train/reuse a coarse quantizer, bucket every vector by
+    nearest centroid (the inverted file), then for each query probe its
+    ``nprobe`` nearest centroid cells and exact-rank within the probed
+    set. At corpus scale the cell assignment is one map pass, the probe
+    is an equi-join on _cid, and exact scoring touches only
+    ~nprobe/n_centroids of the corpus — the same plan shape FAISS IVF
+    uses, expressed as DataFrame ops."""
+    if centroids is None:
+        centroids = ivf_train_centroids(emb, n_centroids, dim, n_iter,
+                                        id_col, emb_col)
+    cents = np.asarray(centroids, dtype=np.float64)
+    c_sq = (cents * cents).sum(axis=1)
+
+    base = with_norm(ivf_assign(emb, cents, emb_col), emb_col).select(
+        F.col(id_col).alias("nid"), F.col(emb_col).alias("nemb"),
+        F.col("_norm").alias("nnorm"), F.col("_cid").alias("ncid"))
+
+    qrows = base.where(F.col("nid").isin(list(query_ids))).collect()
+    probes = []
+    for r in qrows:
+        q = np.asarray(r["nemb"], dtype=np.float64)
+        d = c_sq - 2.0 * (cents @ q)
+        for c in np.argsort(d, kind="stable")[:nprobe]:
+            probes.append((r["nid"], int(c)))
+    spark = emb.sparkSession
+    pdf = spark.createDataFrame(probes, "query_id long, ncid int")
+    qside = pdf.join(
+        base.select(F.col("nid").alias("query_id"), F.col("nemb").alias("qemb"),
+                    F.col("nnorm").alias("qnorm")), "query_id")
+    cand = base.join(F.broadcast(qside), "ncid").where(F.col("nid") != F.col("query_id"))
+    cos = (_dot_expr("qemb", "nemb") / (F.col("qnorm") * F.col("nnorm"))).alias("score")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("nid").alias("neighbor_id"), cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score_r6"))
+    )

@@ -206,3 +206,47 @@ def test_sniff_magic():
 def test_real_decode_raises():
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"x", "image/png")
+
+
+def test_ivf_ann_recall_planted_clusters(spark):
+    """IVF recall on clustered data: k-means cells align with the
+    planted clusters, so nprobe=2 finds nearly all true neighbors."""
+    rng = np.random.default_rng(12)
+    rows = []
+    vid = 0
+    for c in range(20):
+        base = rng.standard_normal(32)
+        base /= np.linalg.norm(base)
+        for _ in range(6):
+            v = base + rng.standard_normal(32) * 0.01
+            rows.append((vid, (v / np.linalg.norm(v)).astype(np.float32).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 6, 12, 18, 24]
+    exact = similarity.brute_force_topk(df, qids, k=4)
+    approx = similarity.ivf_ann_topk(df, qids, k=4, dim=32,
+                                     n_centroids=8, nprobe=2)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"recall {recall}"
+
+
+def test_ivf_deterministic_and_bounded_probe(emb):
+    """Same inputs -> same centroids -> same results; the probed
+    candidate set touches only nprobe cells per query."""
+    dim = emb.select(F.size("embedding")).first()[0]
+    qids = [0, 1, 2, 3]
+    a = similarity.ivf_ann_topk(emb, qids, k=5, dim=dim,
+                                n_centroids=8, nprobe=2).collect()
+    b = similarity.ivf_ann_topk(emb, qids, k=5, dim=dim,
+                                n_centroids=8, nprobe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == len(qids) * 5
+    # exactness when probing every cell
+    exact = similarity.brute_force_topk(emb, qids, k=5)
+    full = similarity.ivf_ann_topk(emb, qids, k=5, dim=dim,
+                                   n_centroids=8, nprobe=8)
+    e = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in exact.collect()}
+    f = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in full.collect()}
+    assert e == f
