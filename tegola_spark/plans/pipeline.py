@@ -441,7 +441,8 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
 
 
 def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
-                          simplify: bool, repair: bool) -> pd.DataFrame:
+                          simplify: bool, repair: bool,
+                          caps: dict | None = None) -> pd.DataFrame:
     """Grouped-map kernel over anchor-tile buckets: derive every
     descendant (z, x, y) membership for z in ``zooms_hi`` locally (pure
     NumPy — the same spherical world-coord + 3x3 buffered-duplication
@@ -461,6 +462,7 @@ def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
         for z in zooms_hi:
             n = 1 << z
             dz = z - anchor_z
+            cap = caps.get(z) if caps else None
             wx = (lon + 180.0) / 360.0 * float(n)
             wy = (0.5 - ymerc / (2.0 * np.pi)) * float(n)
             fx = np.floor(wx)
@@ -496,6 +498,14 @@ def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
             exploded["_ty"] = tys
             for (tx, ty, layer), lg in exploded.groupby(
                     ["_tx", "_ty", "layer"], sort=True):
+                if cap is not None and len(lg) > cap:
+                    # deterministic per-(tile, layer) budget, matching
+                    # the standard path's window cap: lowest feature_ids
+                    # kept; the drop count rides the _cap_dropped column
+                    # that _encode_one folds into n_dropped
+                    n_over = len(lg) - cap
+                    lg = lg.nsmallest(cap, "feature_id").assign(
+                        _cap_dropped=n_over)
                 rows.append(_encode_one(
                     lg, time.perf_counter(), z, int(tx), int(ty),
                     layer, simplify=simplify, repair=repair))
@@ -534,10 +544,13 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
                            max_features_per_tile=max_features_per_tile)
 
     # standard path: polygons at ALL zooms + points at low zooms only
-    std_metrics, _ = build_tiles(
-        spark, sf_dir, zooms, docs=docs, with_polygons=with_polygons,
-        simplify=simplify, repair_polygons=repair_polygons,
-        max_features_per_tile=max_features_per_tile, point_zooms=zooms_lo)
+    # (skipped entirely when it would have nothing to build)
+    std_metrics = None
+    if zooms_lo or with_polygons:
+        std_metrics, _ = build_tiles(
+            spark, sf_dir, zooms, docs=docs, with_polygons=with_polygons,
+            simplify=simplify, repair_polygons=repair_polygons,
+            max_features_per_tile=max_features_per_tile, point_zooms=zooms_lo)
 
     # hierarchical path: ONE anchor shuffle for all deep point zooms
     pts = point_features(spark, sf_dir, docs=docs)
@@ -545,9 +558,19 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
         .select(*FEATURE_COLS, "lon", "lat")
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
 
+    # same per-(tile, layer) budget policy as the standard path, applied
+    # inside the anchor kernel (drops ride _cap_dropped into n_dropped)
+    if max_features_per_tile == "auto":
+        caps = {z: (CAP_LOW_ZOOM if z <= 4 else CAP_HIGH_ZOOM)
+                for z in zooms_hi}
+    elif max_features_per_tile:
+        caps = {z: int(max_features_per_tile) for z in zooms_hi}
+    else:
+        caps = None
+
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
         return _encode_anchor_bucket(pdf, anchor_z, zooms_hi,
-                                     simplify, repair_polygons)
+                                     simplify, repair_polygons, caps=caps)
 
     hier_metrics = (
         anchored.withColumn(
@@ -555,5 +578,6 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
         .groupBy("_bucket")
         .applyInPandas(_encode, ENCODE_SCHEMA)
     )
-    metrics = std_metrics.unionByName(hier_metrics)
+    metrics = hier_metrics if std_metrics is None \
+        else std_metrics.unionByName(hier_metrics)
     return metrics, assemble_tiles(metrics)

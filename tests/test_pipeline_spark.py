@@ -187,3 +187,18 @@ def test_hierarchical_build_byte_identical(spark, sf_dir):
     assert set(a) == set(b)
     diff = [k for k in a if a[k] != b[k]]
     assert diff == [], f"{len(diff)} tiles differ, e.g. {diff[:5]}"
+
+
+def test_hierarchical_cap_enforced(spark, sf_dir):
+    """The anchor kernel applies the same per-(tile, layer) budget as
+    the standard path's window cap, with metered drops."""
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    metrics, _ = pipeline.build_tiles_hierarchical(
+        spark, sf_dir, zooms=[4], anchor_z=4, with_polygons=False,
+        max_features_per_tile=2)
+    rows = metrics.where("layer = 'pages'").collect()
+    assert all(r["n_features"] <= 2 for r in rows)
+    total_kept = sum(r["n_features"] for r in rows)
+    total_dropped = sum(r["n_dropped"] for r in rows)
+    # every fanned-out membership is either kept or metered as dropped
+    assert total_kept + total_dropped >= n_docs
