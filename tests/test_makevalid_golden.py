@@ -148,3 +148,22 @@ def test_clean_geometry_clips_polygon():
     shell = out[1][0][0]
     assert shell[:, 0].min() >= 0.0 and shell[:, 1].min() >= 0.0
     assert abs(G.ring_area_abs(shell) - 2500.0) < 1e-6
+
+
+def test_hitmap_golden_grid():
+    """The fixed-point hitmap port must reproduce the reference's own
+    TestSegmentLinesContains table (maths/hitmap/hitmap_test.go:13-135):
+    a simple square (9 probe points incl. corners/edges) and a 34-vertex
+    'complicated shape' with a full 20x20 golden containment grid."""
+    with open(os.path.join(os.path.dirname(__file__), "fixtures",
+                           "hitmap_golden.json")) as f:
+        fx = json.load(f)
+    for ci, case in enumerate(fx["cases"]):
+        ev = MV._RingEvents(np.asarray(case["ring"], dtype=np.float64))
+        pts = np.asarray([[p[0], p[1]] for p in case["pts"]], dtype=np.float64)
+        want = np.asarray([bool(p[2]) for p in case["pts"]])
+        got = ev.contains(pts)
+        bad = np.nonzero(got != want)[0]
+        assert len(bad) == 0, (
+            f"case {ci}: {len(bad)} mismatches, first at "
+            f"{pts[bad[0]].tolist()} want {want[bad[0]]} got {bool(got[bad[0]])}")

@@ -153,5 +153,40 @@ def main():
     return 0
 
 
+def extract_hitmap():
+    """Extract TestSegmentLinesContains (maths/hitmap/hitmap_test.go:13-135):
+    ring vertex lists + golden containment grids."""
+    src = open("/root/reference/maths/hitmap/hitmap_test.go").read()
+    body = src[src.index("func TestSegmentLinesContains"):src.index("func TestNewFromPolygon")]
+    cases = []
+    for chunk in body.split("testcase{")[1:]:
+        lines_part = chunk[chunk.index("lines: lines(") + len("lines: lines("):]
+        depth = 1
+        for i, ch in enumerate(lines_part):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    nums = [float(v) for v in re.findall(r"-?[\d.]+", lines_part[:i])]
+                    break
+        ring = [[nums[j], nums[j + 1]] for j in range(0, len(nums), 2)]
+        pts = []
+        pts_part = chunk[chunk.index("pts: []tstPt{"):]
+        for m in re.finditer(r"\b(u?)cpt\((-?[\d.]+),\s*(-?[\d.]+)\)", pts_part):
+            pts.append([float(m.group(2)), float(m.group(3)),
+                        0 if m.group(1) == "u" else 1])
+        cases.append({"ring": ring, "pts": pts})
+    path = "tests/fixtures/hitmap_golden.json"
+    with open(path, "w") as f:
+        json.dump({"cases": cases}, f)
+    print(f"wrote {path}: " + ", ".join(
+        f"case {i}: ring {len(c['ring'])} pts, {len(c['pts'])} grid pts"
+        for i, c in enumerate(cases)))
+
+
 if __name__ == "__main__":
+    if "--hitmap" in sys.argv:
+        extract_hitmap()
+        sys.exit(0)
     sys.exit(main())
