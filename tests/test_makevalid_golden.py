@@ -167,3 +167,48 @@ def test_hitmap_golden_grid():
         assert len(bad) == 0, (
             f"case {ci}: {len(bad)} mismatches, first at "
             f"{pts[bad[0]].tolist()} want {want[bad[0]]} got {bool(got[bad[0]])}")
+
+
+SPLIT_CASES = [
+    # (segments, expected per-segment split point lists)
+    # makevalid_splitpts_test.go TestSplitPoints cases 0-3
+    ([(0, 9, 4, 17), (0, 7, 3, 16)],
+     [[(0, 9), (2, 13), (4, 17)], [(0, 7), (2, 13), (3, 16)]]),
+    ([(0, 9, 4, 17), (0, 7, 2, 13)],
+     [[(0, 9), (2, 13), (4, 17)], [(0, 7), (2, 13)]]),
+    ([(0, 9, 2, 13), (0, 7, 3, 16)],
+     [[(0, 9), (2, 13)], [(0, 7), (2, 13), (3, 16)]]),
+    ([(0, 9, 4, 17), (0, 7, 3, 16), (0, 5, 2, 13)],
+     [[(0, 9), (2, 13), (4, 17)], [(0, 7), (2, 13), (3, 16)],
+      [(0, 5), (2, 13)]]),
+]
+
+
+@pytest.mark.parametrize("case", range(len(SPLIT_CASES)))
+def test_split_points_reference_table(case):
+    segs, want = SPLIT_CASES[case]
+    got = MV._split_points(np.asarray(segs, dtype=np.float64))
+    assert [[(p[0], p[1]) for p in lst] for lst in got] == \
+           [[(float(a), float(b)) for a, b in lst] for lst in want]
+
+
+SPLITSEG_CASES = [
+    # TestSplitSegments cases 0-3 (clipbox nil)
+    ([(0, 9, 4, 17), (0, 7, 3, 16)],
+     [(0, 9, 2, 13), (2, 13, 4, 17), (0, 7, 2, 13), (2, 13, 3, 16)]),
+    ([(0, 9, 4, 17), (0, 7, 2, 13)],
+     [(0, 9, 2, 13), (2, 13, 4, 17), (0, 7, 2, 13)]),
+    ([(0, 9, 2, 13), (0, 7, 3, 16)],
+     [(0, 9, 2, 13), (0, 7, 2, 13), (2, 13, 3, 16)]),
+    ([(0, 9, 4, 17), (0, 7, 3, 16), (0, 5, 2, 13)],
+     [(0, 9, 2, 13), (2, 13, 4, 17), (0, 7, 2, 13), (2, 13, 3, 16),
+      (0, 5, 2, 13)]),
+]
+
+
+@pytest.mark.parametrize("case", range(len(SPLITSEG_CASES)))
+def test_split_segments_reference_table(case):
+    segs, want = SPLITSEG_CASES[case]
+    got = MV._split_segments(np.asarray(segs, dtype=np.float64), None)
+    assert [tuple(r) for r in got.tolist()] == \
+           [tuple(float(v) for v in r) for r in want]
