@@ -34,6 +34,7 @@ _MAGIC = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
+    (b"BM", "image/bmp"),
     (b"RIFF", "audio/wav"),
     (b"\x00\x00\x00", "video/mp4"),  # ftyp boxes start with size
 ]
@@ -46,12 +47,20 @@ def sniff_media_type(payload: bytes) -> str:
     return "application/octet-stream"
 
 
-def real_decode(payload: bytes, media_type: str):  # pragma: no cover
-    """Production decoder hook (PIL / av / soundfile). Not available in
-    this container — see module docstring."""
-    raise NotImplementedError(
-        "media decoding requires an image/audio library not present in "
-        "this environment; decode_media uses the deterministic stub")
+def real_decode(payload: bytes, media_type: str) -> dict:
+    """REAL decode for stdlib-decodable formats (mediacodec.py): PNG
+    pixels (non-interlaced 8-bit), BMP 24/32-bit pixels, WAV PCM
+    samples, GIF/JPEG headers. Raises for formats that genuinely need a
+    codec library absent from this container (mp4 video, JPEG entropy
+    decode)."""
+    from . import mediacodec
+
+    try:
+        return mediacodec.decode(payload, media_type)
+    except mediacodec.MediaDecodeError as e:
+        raise NotImplementedError(
+            f"decoding {media_type} requires a codec library not present "
+            f"in this environment ({e})") from e
 
 
 def _stub_features(payload: bytes, n: int = 8) -> np.ndarray:
@@ -64,10 +73,39 @@ def _stub_features(payload: bytes, n: int = 8) -> np.ndarray:
     return np.array([c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32)
 
 
+def _real_features(info: dict) -> np.ndarray | None:
+    """8-dim feature vector from ACTUAL decoded content: images get
+    per-channel means + a 4-bin luminance histogram + std; audio gets
+    RMS/mean/std/zero-cross + duration stats."""
+    px = info.get("pixels")
+    if px is not None:
+        flat = px.reshape(-1, px.shape[-1]).astype(np.float64)
+        lum = flat.mean(axis=1)
+        hist, _ = np.histogram(lum, bins=4, range=(0, 256))
+        hist = hist / max(len(lum), 1)
+        chm = flat.mean(axis=0)
+        chm = np.pad(chm, (0, 3 - len(chm)))[:3] if len(chm) < 3 else chm[:3]
+        return np.concatenate([chm / 255.0, hist,
+                               [lum.std() / 255.0]]).astype(np.float32)
+    s = info.get("samples")
+    if s is not None and np.size(s):
+        x = np.asarray(s, dtype=np.float64).reshape(-1) / 32768.0
+        zc = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) if len(x) > 1 else 0.0
+        return np.array([
+            np.sqrt(np.mean(x * x)), x.mean(), x.std(), zc,
+            x.min(), x.max(), float(info.get("rate", 0)) / 48000.0,
+            info["n_frames"] / 1e6], dtype=np.float32)
+    return None
+
+
 def decode_media(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "doc_id") -> DataFrame:
-    """mapInPandas decode stage: sniff type, compute metadata + stub
-    features; the payload column is PROJECTED AWAY in the output."""
+    """mapInPandas decode stage: sniff type, REAL-decode stdlib-decodable
+    formats (PNG/BMP pixels, WAV PCM, GIF/JPEG headers — mediacodec.py)
+    for true metadata + content features, deterministic stub features
+    for everything else; the payload column is PROJECTED AWAY in the
+    output."""
+    from . import mediacodec
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -77,12 +115,26 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
             for i, b in zip(ids, payloads):
                 b = bytes(b) if b is not None else b""
                 mt = sniff_media_type(b)
-                feat = _stub_features(b)
-                # deterministic fake dims derived from content length
-                w = 16 + (len(b) % 1024)
-                h = 16 + (len(b) % 768)
-                frames = 1 if mt.startswith("image") else 1 + (len(b) % 30)
-                rows.append((int(i), mt, len(b), w, h, frames, feat.tolist()))
+                info = None
+                try:
+                    info = mediacodec.decode(b, mt)
+                except mediacodec.MediaDecodeError:
+                    pass
+                if info is not None:
+                    feat = _real_features(info)
+                    if feat is None:
+                        feat = _stub_features(b)
+                    w = info.get("width", 0)
+                    h = info.get("height", 0)
+                    frames = info.get("n_frames", 1) or 1
+                else:
+                    feat = _stub_features(b)
+                    # deterministic fake dims derived from content length
+                    w = 16 + (len(b) % 1024)
+                    h = 16 + (len(b) % 768)
+                    frames = 1 if mt.startswith("image") else 1 + (len(b) % 30)
+                rows.append((int(i), mt, len(b), int(w), int(h), int(frames),
+                             np.asarray(feat, dtype=np.float32).tolist()))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "media_type", "payload_len", "width", "height",
                 "n_frames", "feature"])
