@@ -396,6 +396,35 @@ def clip_polygon_rect(rings, ext):
     return out
 
 
+def _rect_fast_path(ring: np.ndarray, clip_region):
+    """If ``ring`` is an axis-aligned rectangle fully inside
+    ``clip_region`` (or clip is None), return the canonical ring the
+    make-valid sweep would produce — [] for zero area, None when the
+    fast path does not apply."""
+    r = ring
+    if len(r) >= 2 and r[0][0] == r[-1][0] and r[0][1] == r[-1][1]:
+        r = r[:-1]
+    if len(r) != 4:
+        return None
+    xs = np.unique(r[:, 0])
+    ys = np.unique(r[:, 1])
+    if len(xs) > 2 or len(ys) > 2:
+        return None
+    # each consecutive edge must be axis-aligned (no bowtie orderings)
+    nxt = np.roll(r, -1, axis=0)
+    if not np.all((r[:, 0] == nxt[:, 0]) | (r[:, 1] == nxt[:, 1])):
+        return None
+    minx, maxx = float(xs[0]), float(xs[-1])
+    miny, maxy = float(ys[0]), float(ys[-1])
+    if minx == maxx or miny == maxy:
+        return np.empty((0, 2))
+    if clip_region is not None:
+        if not (clip_region[0] <= minx and maxx <= clip_region[2]
+                and clip_region[1] <= miny and maxy <= clip_region[3]):
+            return None
+    return np.array([[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy]])
+
+
 def clean_geometry(geom, clip_region, repair: bool = True):
     """validate.CleanGeometry (validate.go:101-146): lines get the
     exact ported clip walk; polygons ALWAYS run the make-valid column
@@ -412,6 +441,20 @@ def clean_geometry(geom, clip_region, repair: bool = True):
     gtype, data = geom
     if repair and gtype in ("Polygon", "MultiPolygon"):
         from . import makevalid as MV
+
+        # Fast path: a single axis-aligned rectangle FULLY INSIDE the
+        # clip region. The sweep provably returns the same rectangle in
+        # canonical form (all segments axis-aligned and coincident with
+        # or inside the effective clipbox: no intersections to round, no
+        # sub-segments clipped, trapezoids reassemble the rectangle) —
+        # differentially asserted in tests. Tile outlines and bbox
+        # layers hit this constantly; partial overlaps and everything
+        # else take the full sweep.
+        if gtype == "Polygon" and len(data) == 1:
+            fast = _rect_fast_path(np.asarray(data[0], dtype=np.float64),
+                                   clip_region)
+            if fast is not None:
+                return ("MultiPolygon", [[fast]]) if len(fast) else None
 
         if gtype == "Polygon":
             rings = [np.asarray(r, dtype=np.float64) * 10.0 for r in data]

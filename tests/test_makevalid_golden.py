@@ -212,3 +212,52 @@ def test_split_segments_reference_table(case):
     got = MV._split_segments(np.asarray(segs, dtype=np.float64), None)
     assert [tuple(r) for r in got.tolist()] == \
            [tuple(float(v) for v in r) for r in want]
+
+
+def test_rect_fast_path_matches_sweep():
+    """The axis-aligned-rect fast path must return EXACTLY what the
+    full sweep returns, across random rects, vertex orders and start
+    points (fully-inside only; partial overlap takes the sweep)."""
+    rng = np.random.default_rng(21)
+    clip = (-64.0, -64.0, 4160.0, 4160.0)
+    for _ in range(40):
+        x0, y0 = rng.uniform(-60, 4000, 2)
+        w, h = rng.uniform(0.3, 150, 2)
+        corners = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                            [x0, y0 + h]])
+        k = rng.integers(0, 4)
+        ring = np.roll(corners, k, axis=0)
+        if rng.integers(0, 2):
+            ring = ring[::-1]
+        geom = ("Polygon", [ring])
+        fast = G.clean_geometry(geom, clip)            # fast path
+        # force the sweep by bypassing the rect check: two-ring polygon
+        # with a degenerate second ring is NOT eligible
+        slow = G.clean_geometry(
+            ("MultiPolygon", [[ring]]), clip)          # sweep path
+        assert fast is not None and slow is not None
+        assert len(fast[1]) == len(slow[1]) == 1
+        # the sweep's edge-cancellation quantizes to a 1e-7 grid
+        # (x10 scale -> ~1e-8 jitter after scale-down); the fast path
+        # keeps exact coords, which downstream int truncation absorbs
+        np.testing.assert_allclose(fast[1][0][0], slow[1][0][0],
+                                   rtol=0, atol=1e-7)
+
+
+def test_rect_fast_path_rejects_non_rects_and_partial():
+    clip = (0.0, 0.0, 100.0, 100.0)
+    # triangle -> not eligible
+    assert G._rect_fast_path(
+        np.array([[0.0, 0.0], [10.0, 0.0], [5.0, 8.0]]), clip) is None
+    # bowtie vertex order with rect coords -> not eligible
+    assert G._rect_fast_path(
+        np.array([[0.0, 0.0], [10.0, 10.0], [10.0, 0.0], [0.0, 10.0]]),
+        clip) is None
+    # partially outside -> not eligible (sweep handles the clip)
+    assert G._rect_fast_path(
+        np.array([[-5.0, 0.0], [10.0, 0.0], [10.0, 10.0], [-5.0, 10.0]]),
+        clip) is None
+    # zero area -> empty (feature dropped)
+    out = G._rect_fast_path(
+        np.array([[1.0, 1.0], [1.0, 1.0], [1.0, 5.0], [1.0, 5.0]]), clip)
+    assert out is not None and len(out) == 0
