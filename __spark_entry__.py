@@ -346,6 +346,25 @@ def q_multimodal_decode(spark, sf_dir):
                       "height", "n_frames")
 
 
+def q_event_windows(spark, sf_dir):
+    """Tumbling-window event-time aggregation over the events table
+    (hourly buckets by epoch arithmetic so DuckDB reproduces exactly;
+    session timezone pinned UTC). Demonstrates the windowed-agg shape
+    the reference lacks entirely (SURVEY.md §2.5) but a corpus pipeline
+    needs for telemetry rollups; the same expression runs under
+    Structured Streaming with a watermark."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bucket = F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long")
+    return (
+        ev.withColumn("hour_bucket", bucket)
+        .groupBy("hour_bucket", "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.count_distinct("user_id").alias("n_users"),
+             F.round(F.sum("value"), 6).alias("sum_value"),
+             F.max("event_id").alias("max_event_id"))
+    )
+
+
 def q_similarity_ivf(spark, sf_dir):
     """IVF coarse-quantizer ANN (deterministic k-means cells, nprobe
     probing, exact re-rank within probed cells) — rows-only like the
@@ -429,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "similarity_ann": q_similarity_ann,
         "similarity_ivf": q_similarity_ivf,
+        "event_windows": q_event_windows,
         "raster_rollup": q_raster_rollup,
         "raster_vectorize": q_raster_vectorize,
         "minhash_pairs": q_minhash_pairs,
@@ -542,6 +562,15 @@ def oracle_sql() -> dict[str, str]:
               AND wy >= y - 0.015625 AND wy <= y + 1 + 0.015625
               AND CAST(floor(wx) AS BIGINT) - x BETWEEN -1 AND 1
               AND CAST(floor(wy) AS BIGINT) - y BETWEEN -1 AND 1
+        """,
+        "event_windows": """
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   ROUND(SUM(value), 6) AS sum_value,
+                   MAX(event_id) AS max_event_id
+            FROM events GROUP BY 1, 2
         """,
         "knn_cellring": _knn_oracle(),
         "knn_brute": _knn_oracle(),
