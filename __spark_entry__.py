@@ -365,6 +365,30 @@ def q_event_windows(spark, sf_dir):
     )
 
 
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum window functions — per (user, session): event count, bounds,
+    value sum. Expressed identically in Spark SQL and DuckDB (epoch
+    integer arithmetic, ties broken by event_id)."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("ep", F.unix_timestamp("ts"))
+    w = W.partitionBy("user_id").orderBy("ep", "event_id")
+    gap = F.col("ep") - F.lag("ep").over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ses = ev.withColumn("new_s", new_s).withColumn(
+        "session_id", F.sum("new_s").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    return (
+        ses.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"),
+             F.min("ep").alias("start_ep"),
+             F.max("ep").alias("end_ep"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
 def q_similarity_ivf(spark, sf_dir):
     """IVF coarse-quantizer ANN (deterministic k-means cells, nprobe
     probing, exact re-rank within probed cells) — rows-only like the
@@ -449,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann": q_similarity_ann,
         "similarity_ivf": q_similarity_ivf,
         "event_windows": q_event_windows,
+        "event_sessions": q_event_sessions,
         "raster_rollup": q_raster_rollup,
         "raster_vectorize": q_raster_vectorize,
         "minhash_pairs": q_minhash_pairs,
@@ -571,6 +596,33 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 6) AS sum_value,
                    MAX(event_id) AS max_event_id
             FROM events GROUP BY 1, 2
+        """,
+        "event_sessions": """
+            WITH e AS (
+              SELECT user_id, event_id, value,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ep
+              FROM events
+            ), flagged AS (
+              SELECT user_id, event_id, value, ep,
+                     CASE WHEN ep - LAG(ep) OVER
+                            (PARTITION BY user_id ORDER BY ep, event_id)
+                          IS NULL THEN 1
+                          WHEN ep - LAG(ep) OVER
+                            (PARTITION BY user_id ORDER BY ep, event_id)
+                          > 1800 THEN 1 ELSE 0 END AS new_s
+              FROM e
+            ), ses AS (
+              SELECT user_id, value, ep,
+                     SUM(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ep, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   MIN(ep) AS start_ep, MAX(ep) AS end_ep,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM ses GROUP BY 1, 2
         """,
         "knn_cellring": _knn_oracle(),
         "knn_brute": _knn_oracle(),
