@@ -39,9 +39,15 @@ vertex-comparable to the golden table in makevalid_test.go:
      at its lexicographically-smallest (x, y) vertex, shells CCW in
      y-up (holes CW), polygons ordered by shell start vertex
 
-The always-on clean path (validate.go:101-127) wraps this in the x10
-fixed-point scale-up / x0.1 scale-down so rounding lands on a 0.1-pixel
-grid — see geometry.clean_geometry.
+CALLING CONVENTION: make_valid's contract is INTEGER-GRID coordinates —
+split points round to integers (like the reference's MakeValid), so
+sub-integer-scale features distort by design (a clip-edge crossing at
+(257.4, 189) becomes the vertex (257, 189), exactly as Pt.Round would
+produce). The always-on clean path (validate.go:101-127) provides the
+grid by wrapping the call in the x10 fixed-point scale-up / x0.1
+scale-down — see geometry.clean_geometry — bounding boundary
+distortion to 0.05 pixel units. Randomized coverage-robustness tests
+in tests/test_makevalid_golden.py pin both conventions.
 
 The reference parallelizes columns with NumCPU workers
 (makevalid/main.go:19-23); here Spark task parallelism replaces that

@@ -261,3 +261,69 @@ def test_rect_fast_path_rejects_non_rects_and_partial():
     out = G._rect_fast_path(
         np.array([[1.0, 1.0], [1.0, 1.0], [1.0, 5.0], [1.0, 5.0]]), clip)
     assert out is not None and len(out) == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5, 6, 7])
+def test_sweep_robustness_random_polygons(seed):
+    """Every polygon in the pipeline routes through the sweep: it must
+    never raise and must reproduce the input hitmap's coverage —
+    including self-intersecting, collinear-heavy and repeated-point
+    rings. INTEGER coordinates here: MakeValid (like the reference's)
+    rounds intersection points to integers, so its contract is
+    integer-grid inputs — the production path guarantees that via the
+    x10 fixed-point wrap in clean_geometry (validate.go:104-111);
+    feeding sub-integer coords distorts boundaries by design (verified:
+    the reference's Round() produces the same phantom vertices)."""
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(4, 14))
+    ring = rng.uniform(0, 400, size=(n, 2)).round(0)
+    if seed % 3 == 0:
+        ring[rng.integers(0, n)] = ring[rng.integers(0, n)]  # repeated pt
+    if seed % 4 == 0:
+        ring[:, 1] = np.round(ring[:, 1] / 50) * 50  # collinear-heavy
+    clip = (-16.0, -16.0, 4112.0, 4112.0)
+    polys = MV.make_valid([ring], clip_ext=clip)
+    agree = _coverage_agreement([ring], polys, n=1500, seed=seed)
+    # rounded split points move boundaries <= 0.5 units; probes within
+    # that band of the (many) boundaries of a noise polygon may flip
+    assert agree >= 0.97, f"seed {seed}: coverage agreement {agree}"
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_sweep_robustness_star_polygons(seed):
+    """Simple (non-self-intersecting) star polygons with integer
+    coordinates: near-exact coverage."""
+    rng = np.random.default_rng(300 + seed)
+    k = int(rng.integers(5, 15))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+    rad = rng.uniform(40, 200, k)
+    ring = np.column_stack([200 + rad * np.cos(ang),
+                            200 + rad * np.sin(ang)]).round(0)
+    polys = MV.make_valid([ring], clip_ext=(-16.0, -16.0, 4112.0, 4112.0))
+    agree = _coverage_agreement([ring], polys, n=1500, seed=seed)
+    assert agree >= 0.99, f"seed {seed}: agreement {agree}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_clean_geometry_robustness_scaled(seed):
+    """The production wrap (x10 scale -> integer rounding = 0.1-unit
+    grid) bounds boundary distortion to 0.05 units on 0.1-grid pixel
+    coords — the same contract the reference's CleanGeometry provides."""
+    rng = np.random.default_rng(200 + seed)
+    k = int(rng.integers(5, 12))
+    ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+    rad = rng.uniform(40, 200, k)
+    ring = np.column_stack([200 + rad * np.cos(ang),
+                            200 + rad * np.sin(ang)]).round(1)
+    out = G.clean_geometry(("Polygon", [ring]),
+                           (-16.0, -16.0, 4112.0, 4112.0))
+    assert out is not None
+    flat = [r for p in out[1] for r in p]
+    labels = [j == 0 for p in out[1] for j, _ in enumerate(p)]
+    hm_in = MV.HitMap([ring])
+    hm_out = MV.HitMap(flat, labels=labels)
+    rng2 = np.random.default_rng(seed)
+    P = np.column_stack([rng2.uniform(0, 400, 1500),
+                         rng2.uniform(0, 400, 1500)])
+    agree = float((hm_in.inside(P) == hm_out.inside(P)).mean())
+    assert agree >= 0.995, f"seed {seed}: agreement {agree}"
