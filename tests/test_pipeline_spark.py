@@ -202,3 +202,16 @@ def test_hierarchical_cap_enforced(spark, sf_dir):
     total_dropped = sum(r["n_dropped"] for r in rows)
     # every fanned-out membership is either kept or metered as dropped
     assert total_kept + total_dropped >= n_docs
+
+
+def test_hierarchical_deep_only_zooms_byte_identical(spark, sf_dir):
+    """zooms entirely above anchor_z (no low-zoom standard path for
+    points; polygons still standard): still byte-identical."""
+    zooms = [6, 7]
+    _, std = pipeline.build_tiles(spark, sf_dir, zooms=zooms)
+    _, hier = pipeline.build_tiles_hierarchical(spark, sf_dir, zooms=zooms,
+                                                anchor_z=4)
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile_bytes"]) for r in std.collect()}
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile_bytes"]) for r in hier.collect()}
+    assert set(a) == set(b)
+    assert all(a[k] == b[k] for k in a)
