@@ -1,7 +1,9 @@
 """Geometry kernel tests: DP simplify (G1), line clip (G2), polygon
 rect clip (G3 substitute), PIP (J4), clean (G5).
 
-Clip table cases ported from maths/clip/linestring_test.go ("0".."5").
+Clip table: the COMPLETE maths/clip/linestring_test.go case set
+("0".."15" + boundary/empty), incl. the real-world 47-vertex line whose
+clip has fractional intersections.
 """
 
 import numpy as np
@@ -107,7 +109,53 @@ CLIP_CASES = [
     ((-2, -2, 12, 12),
      L(-3, 1, -3, 9, 11, 9, 11, 2, 5, 2, 5, 8, -1, 8, -1, 4, 3, 4, 3, 1),
      [L(-2, 9, 11, 9, 11, 2, 5, 2, 5, 8, -1, 8, -1, 4, 3, 4, 3, 1)]),
+    # linestring_test.go cases 6/7: extent swallows the whole line
+    ((-3, -3, 13, 13),
+     L(-3, 1, -3, 9, 11, 9, 11, 2, 5, 2, 5, 8, -1, 8, -1, 4, 3, 4, 3, 1),
+     [L(-3, 1, -3, 9, 11, 9, 11, 2, 5, 2, 5, 8, -1, 8, -1, 4, 3, 4, 3, 1)]),
+    ((-4, -4, 14, 14),
+     L(-3, 1, -3, 9, 11, 9, 11, 2, 5, 2, 5, 8, -1, 8, -1, 4, 3, 4, 3, 1),
+     [L(-3, 1, -3, 9, 11, 9, 11, 2, 5, 2, 5, 8, -1, 8, -1, 4, 3, 4, 3, 1)]),
+    # case 8: tiny window clips one corner
+    ((5, 1, 7, 3),
+     L(-3, 1, -3, 9, 11, 9, 11, 2, 5, 2, 5, 8, -1, 8, -1, 4, 3, 4, 3, 1),
+     [L(7, 2, 5, 2, 5, 3)]),
+    # cases 9/10: window misses the line entirely -> nil
+    ((0, 5, 2, 7),
+     L(-3, 1, -3, 9, 11, 9, 11, 2, 5, 2, 5, 8, -1, 8, -1, 4, 3, 4, 3, 1),
+     []),
+    # case 11
+    ((5, 2, 11, 9),
+     L(-3, 1, -3, 9, 11, 9, 11, 2, 5, 2, 5, 8, -1, 8, -1, 4, 3, 4, 3, 1),
+     [L(5, 9, 11, 9, 11, 2, 5, 2, 5, 8)]),
+    # case 12 -> nil
+    ((5, 2, 11, 9),
+     L(-3, 1, -3, 10, 12, 10, 12, 1, 4, 1, 4, 8, -1, 8, -1, 4, 3, 4, 3, 1),
+     []),
+    # case 13
+    ((0, 0, 10, 10),
+     L(-3, -3, -3, 10, 12, 10, 12, 1, 4, 1, 4, 8, -1, 8, -1, 4, 3, 4, 3, 3),
+     [L(0, 10, 10, 10), L(10, 1, 4, 1, 4, 8, 0, 8), L(0, 4, 3, 4, 3, 3)]),
+    # case 14: line riding the extent boundary
+    ((-1, -1, 11, 11),
+     L(-1, -1, 12, -1, 12, 12, -1, 12),
+     [L(-1, -1, 11, -1)]),
 ]
+
+CLIP_CASE_15 = (
+    (0, 0, 4096, 4096),
+    L(7848, 19609, 7340, 18835, 6524, 17314, 6433, 17163, 5178, 15057,
+      5147, 15006, 4680, 14226, 3861, 12766, 2471, 10524, 2277, 10029,
+      1741, 8281, 1655, 8017, 1629, 7930, 1437, 7368, 973, 5481,
+      325, 4339, -497, 3233, -1060, 2745, -1646, 2326, -1883, 2156,
+      -2002, 2102, -2719, 1774, -3638, 1382, -3795, 1320, -5225, 938,
+      -6972, 295, -7672, -88, -8243, -564, -8715, -1112, -9019, -1573,
+      -9235, -2067, -9293, -2193, -9408, -2570, -9823, -4630, -10118,
+      -5927, -10478, -7353, -10909, -8587, -11555, -9743, -11837, -10005,
+      -12277, -10360, -13748, -11189, -14853, -12102, -15806, -12853,
+      -16711, -13414),
+    [L(144.397830, 4096, 0, 3901.712895)],
+)
 
 
 @pytest.mark.parametrize("ext,inp,expected", CLIP_CASES,
@@ -117,6 +165,16 @@ def test_clip_linestring_table(ext, inp, expected):
     assert len(got) == len(expected), f"got {[g.tolist() for g in got]}"
     for g, e in zip(got, expected):
         np.testing.assert_allclose(g, e, atol=1e-12)
+
+
+def test_clip_linestring_real_world_case_15():
+    # linestring_test.go case "15": a real production linestring against
+    # the 4096 tile window; expected has fractional intersections
+    # (compared with tolerance, as the reference's cmp does)
+    ext, inp, expected = CLIP_CASE_15
+    got = G.clip_linestring(inp, ext)
+    assert len(got) == len(expected)
+    np.testing.assert_allclose(got[0], expected[0], atol=1e-6)
 
 
 def test_clip_linestring_fully_inside_and_outside():
