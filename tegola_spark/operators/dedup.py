@@ -141,24 +141,33 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # mega-bucket guard: N identical docs collide in every band and a
     # single bucket of N ids is O(N^2) pairs — the one way this join
     # degenerates at corpus scale. Buckets are deterministically capped
-    # (lowest ids kept); docs inside a capped bucket are near-identical
-    # to each other, so the kept subset still links every survivor and
-    # the dedup CONNECTIVITY loss is bounded to pathological buckets.
+    # (lowest ids kept) for the all-pairs self-join; every CAPPED-OUT id
+    # still emits ONE candidate pair against the bucket's min id, so a
+    # mega-bucket costs O(N) pairs instead of O(N^2) and no duplicate
+    # silently escapes dedup connectivity (each survivor links to the
+    # representative, which links to every kept id).
+    overflow_pairs = None
     if max_bucket:
         from pyspark.sql import Window as _W
 
         wb = _W.partitionBy("band", "bucket").orderBy("id")
-        exploded = (
-            exploded.withColumn("_bk", F.row_number().over(wb))
-            .where(F.col("_bk") <= max_bucket).drop("_bk")
+        ranked = exploded.withColumn("_bk", F.row_number().over(wb))
+        overflow_pairs = (
+            ranked.withColumn(
+                "_min_id", F.min("id").over(_W.partitionBy("band", "bucket")))
+            .where(F.col("_bk") > max_bucket)
+            .select(F.col("_min_id").alias("id_a"), F.col("id").alias("id_b"))
         )
+        exploded = ranked.where(F.col("_bk") <= max_bucket).drop("_bk")
 
     pair_ids = (
         exploded.alias("l").join(exploded.alias("r"), ["band", "bucket"])
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if overflow_pairs is not None:
+        pair_ids = pair_ids.unionByName(overflow_pairs)
+    pair_ids = pair_ids.dropDuplicates(["id_a", "id_b"])
     cand = (
         pair_ids
         .join(sigs.select(F.col("id").alias("id_a"),

@@ -262,8 +262,20 @@ _DECODERS = {
 
 
 def decode(payload: bytes, media_type: str) -> dict:
-    """Dispatch; raises MediaDecodeError for unsupported types."""
+    """Dispatch; raises MediaDecodeError for unsupported types AND for
+    malformed payloads. sniff_media_type matches only 2-4 prefix bytes,
+    so arbitrary corpus bytes starting 'BM'/'RIFF'/PNG-magic route into
+    these strict parsers — truncated/corrupt input raises struct.error,
+    zlib.error, ValueError or numpy buffer errors, and one bad document
+    must NOT kill a 100 TB job. Every non-MediaDecodeError escapes here
+    re-wrapped so callers have exactly one failure type to catch."""
     fn = _DECODERS.get(media_type)
     if fn is None:
         raise MediaDecodeError(f"no stdlib decoder for {media_type}")
-    return fn(bytes(payload))
+    try:
+        return fn(bytes(payload))
+    except MediaDecodeError:
+        raise
+    except Exception as e:
+        raise MediaDecodeError(
+            f"malformed {media_type} payload: {type(e).__name__}: {e}") from e

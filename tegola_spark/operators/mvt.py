@@ -428,6 +428,10 @@ def encode_value(v) -> bytes:
         iv = int(v)
         if iv > 0x7FFFFFFFFFFFFFFF:
             return _tag(5, 0) + _varint(iv & 0xFFFFFFFFFFFFFFFF)
+        if iv < -0x8000000000000000:
+            # Go can never hold such a value (layer.go covers int64/uint64
+            # only) — masking would silently wrap to a wrong positive
+            raise ValueError(f"tag int below int64 range: {iv}")
         return _tag(4, 0) + _varint(iv & 0xFFFFFFFFFFFFFFFF)
     raise TypeError(f"unsupported tag value type {type(v)!r}")
 

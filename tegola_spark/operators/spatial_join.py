@@ -74,13 +74,14 @@ def pip_filter_udf():
         out = np.zeros(len(lon), dtype=bool)
         pts = np.column_stack([lon.to_numpy(), lat.to_numpy()])
         # group rows by polygon so each polygon decodes once and tests
-        # all its points in one vectorized call
-        groups: dict[bytes, list[int]] = {}
-        for i, b in enumerate(geom_wkb):
-            groups.setdefault(bytes(b), []).append(i)
-        for b, idxs in groups.items():
-            g = wkb.decode(b)
-            idx = np.array(idxs)
+        # all its points in one vectorized call; factorize + stable
+        # argsort builds the groups in C (no per-row Python on the join
+        # path — the only remaining loop is per DISTINCT polygon)
+        codes, uniques = pd.factorize(geom_wkb, use_na_sentinel=False)
+        order = np.argsort(codes, kind="stable")
+        bounds = np.searchsorted(codes[order], np.arange(1, len(uniques)))
+        for b, idx in zip(uniques, np.split(order, bounds)):
+            g = wkb.decode(bytes(b))
             out[idx] = geo.points_in_polygon(pts[idx], g)
         return pd.Series(out)
 
@@ -252,6 +253,10 @@ def knn_cell_ring_df(points: DataFrame, queries: DataFrame, k: int,
                 .where(F.col("rank") <= k_eff)
             )
 
+        # per-round caches are |Q|-sized; the superseded round's cache is
+        # unpersisted as soon as the new one materializes (the count()),
+        # so at most ONE query-state cache is live at any time
+        prev_cache = None
         for _ in range(max_rounds):
             stats = (
                 pass_topk(q).groupBy("query_id")
@@ -261,9 +266,11 @@ def knn_cell_ring_df(points: DataFrame, queries: DataFrame, k: int,
                 q.drop("_n", "_dk")
                 .join(stats, "query_id", "left")
                 .withColumn("_n", F.coalesce(F.col("_n"), F.lit(0)))
-            )
-            q.cache()
+            ).cache()
             n_under = q.where(F.col("_n") < k_eff).count()
+            if prev_cache is not None:
+                prev_cache.unpersist()
+            prev_cache = q
             if n_under == 0:
                 break
             q = q.withColumn(
@@ -271,14 +278,19 @@ def knn_cell_ring_df(points: DataFrame, queries: DataFrame, k: int,
         else:  # pragma: no cover
             raise RuntimeError("knn radius growth did not converge")
 
-        # exactness pass: the kth-candidate distance bounds the true disk
+        # exactness pass: the kth-candidate distance bounds the true disk.
+        # localCheckpoint (eager, |Q| rows) truncates the per-round join
+        # lineage so the last round cache can be released NOW; the blocks
+        # live exactly as long as the returned plan references them.
         q_safe = q.withColumn(
             "r",
             F.greatest(
                 F.col("r"),
                 (F.ceil(F.sqrt(F.col("_dk")) / F.lit(step_deg)) + 1).cast("long"),
             ),
-        )
+        ).localCheckpoint()
+        if prev_cache is not None:
+            prev_cache.unpersist()
         return pass_topk(q_safe).select("query_id", "rank", id_col, "dist_sq")
     finally:
         pts.unpersist()

@@ -56,7 +56,11 @@ def write_tiles(tiles: DataFrame, metrics: DataFrame, path: str,
     if os.path.exists(manifest):
         with open(manifest) as f:
             for line in f:
-                prev_total = json.loads(line).get("n_tiles_total", 0) or prev_total
+                rec0 = json.loads(line)
+                # manifests written before n_tiles_total existed carried a
+                # then-cumulative n_tiles — fall back so resume keeps lineage
+                prev_total = rec0.get("n_tiles_total",
+                                      rec0.get("n_tiles", 0)) or prev_total
     if mode == "overwrite":
         prev_total = 0
     rec = {

@@ -110,3 +110,35 @@ def test_decode_media_real_formats(spark):
 def test_real_decode_raises_for_unsupported():
     with pytest.raises(NotImplementedError):
         mm.real_decode(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+
+
+# corpus bytes that pass the 2-4 byte magic sniff but are NOT valid files:
+# each used to escape as struct.error / zlib.error / ValueError and kill
+# the whole job (ADVICE r2, high)
+_MALFORMED = [
+    (b"BMxx", "image/bmp"),                                   # truncated header
+    (b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR\x00\x00", "image/png"),  # short IHDR
+    (b"\x89PNG\r\n\x1a\n"                                     # corrupt IDAT zlib
+     + b"\x00\x00\x00\x0dIHDR" + b"\x00\x00\x00\x02\x00\x00\x00\x02\x08\x02\x00\x00\x00"
+     + b"\x00\x00\x00\x00"
+     + b"\x00\x00\x00\x04IDAT" + b"\xde\xad\xbe\xef" + b"\x00\x00\x00\x00",
+     "image/png"),
+    (b"RIFF\x24\x00\x00\x00WAVEfmt \x02\x00\x00\x00\x01\x00", "audio/wav"),  # short fmt
+    (b"GIF8", "image/gif"),                                   # bare magic
+    (b"\xff\xd8\xff\xe0\x00", "image/jpeg"),                  # truncated jpeg
+]
+
+
+def test_decode_malformed_raises_only_mediadecodeerror():
+    for payload, mt in _MALFORMED:
+        with pytest.raises(mc.MediaDecodeError):
+            mc.decode(payload, mt)
+
+
+def test_decode_media_survives_malformed_payloads(spark):
+    rows = [(i, bytearray(p)) for i, (p, _) in enumerate(_MALFORMED)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = mm.decode_media(df).collect()
+    # every malformed row falls back to stub features instead of failing
+    assert len(out) == len(_MALFORMED)
+    assert all(len(r["feature"]) == 8 for r in out)

@@ -66,6 +66,29 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert verified[0]["jaccard"] > 0.8
 
 
+def test_minhash_capped_bucket_links_overflow_to_representative(spark):
+    # 12 identical docs with max_bucket=4 used to orphan ids past rank 4:
+    # the SAME lowest 4 ids survive every band's cap, so docs 5..12 got
+    # zero candidate pairs anywhere (ADVICE r2). Overflow ids must still
+    # link to the bucket representative (min id).
+    n = 12
+    txt = "identical template page content repeated for dedup " * 10
+    pdf = pd.DataFrame({"doc_id": list(range(1, n + 1)), "text": [txt] * n})
+    pairs = dedup.minhash_lsh_pairs(
+        spark.createDataFrame(pdf), threshold=0.9, bands=16,
+        max_bucket=4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    linked = set()
+    for a, b in got:
+        linked.add(a)
+        linked.add(b)
+    # every doc participates in at least one pair -> none escape dedup
+    assert linked == set(range(1, n + 1))
+    # overflow ids (rank > 4) each link to the representative id 1
+    for d in range(5, n + 1):
+        assert (1, d) in got
+
+
 def test_simhash_near_pairs(spark):
     base = "word" + " token alpha beta gamma delta" * 30
     near = base.replace("gamma", "gamna")
