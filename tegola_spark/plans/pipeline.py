@@ -49,7 +49,19 @@ from ..sources import corpus, layers
 # 40s identity pass over 9.5M rows (measured); string columns are near
 # zero-copy. Column order defines MVT tag-key first-appearance order.
 TAG_COLS = ["tag_type", "tag_url", "tag_lang", "tag_name", "tag_zxy"]
-FEATURE_COLS = ["z", "x", "y", "layer", "feature_id", "geom", "srid"] + TAG_COLS
+# struct-of-arrays geometry transport: POINT features (the corpus — the
+# overwhelming majority of rows at 100 TB) cross the encode shuffle as
+# two plain DOUBLE columns (lon, lat) with geom NULL; only non-point
+# features (polygon layers, debug geometry — the small side) carry WKB.
+# vs the round-2 design this removes (a) the pt_wkb encode UDF — a full
+# Python/Arrow round-trip over the corpus BEFORE the fan-out, (b) the
+# per-group b"".join + frombuffer WKB re-decode AFTER the shuffle, and
+# (c) ~9 bytes/row of shuffle width (16B of doubles vs 21B WKB + Arrow
+# offsets). Coordinates land in the encode kernel as zero-copy Arrow->
+# NumPy float64 views. Bit-exact vs the WKB path: IEEE doubles
+# round-trip struct-pack exactly, so skipping the codec changes nothing.
+FEATURE_COLS = ["z", "x", "y", "layer", "feature_id", "geom", "srid",
+                "lon", "lat"] + TAG_COLS
 ENCODE_SCHEMA = (
     "z int, x long, y long, layer string, layer_bytes binary, "
     "n_features long, n_dropped long, bytes long, encode_ms double"
@@ -119,15 +131,15 @@ def _tag_dicts(pdf: pd.DataFrame) -> list:
     return out
 
 
-def _vectorized_points(pdf: pd.DataFrame, ext, clip_region, srid_mask) -> list:
-    """Fast path: every 21-byte little-endian WKB Point in the group is
-    projected (P8), quantized (P9), clipped and command-encoded in a
-    handful of NumPy passes. Per-feature cursors start at (0,0)
+def _vectorized_points(pdf: pd.DataFrame, lon: np.ndarray, lat: np.ndarray,
+                       ext, clip_region, srid_mask) -> list:
+    """Fast path: every point in the group is projected (P8), quantized
+    (P9), clipped and command-encoded in a handful of NumPy passes over
+    the (lon, lat) arrays — SoA transport hands these in as zero-copy
+    Arrow views; the legacy WKB-point caller decodes them in one
+    frombuffer pass. Per-feature cursors start at (0,0)
     (feature.go:139-146), so a point feature's stream is just
     [MoveTo(1), zigzag(trunc px), zigzag(trunc py)]."""
-    buf = np.frombuffer(b"".join(pdf["geom"]), dtype=np.uint8).reshape(-1, 21)
-    lon = buf[:, 5:13].copy().view("<f8").ravel()
-    lat = buf[:, 13:21].copy().view("<f8").ravel()
     px_x = np.where(srid_mask, mercator.lon_to_x(lon), lon)
     px_y = np.where(srid_mask, mercator.lat_to_y(lat), lat)
     minx, miny, maxx, maxy = ext
@@ -163,16 +175,39 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
     if "srid" not in pdf.columns:
         pdf = pdf.assign(srid=4326)
 
-    # split: vectorized point fast path vs generic per-feature path
-    is_pt = pdf["geom"].map(
-        lambda b: len(b) == 21 and bytes(b[:5]) == _POINT_WKB_HEAD)
+    # split: SoA points (lon/lat columns, geom NULL) take the zero-copy
+    # fast path; legacy 21-byte WKB points (debug centers, direct
+    # encode_bucket callers) take the frombuffer fast path; everything
+    # else is the generic per-feature path. The per-row WKB sniff only
+    # runs when the group is not pure-SoA (the corpus groups are).
+    if "lon" in pdf.columns:
+        soa = pdf["lon"].notna().to_numpy()
+    else:
+        soa = np.zeros(len(pdf), dtype=bool)
+    if soa.all() and len(pdf):
+        wkbpt = np.zeros(len(pdf), dtype=bool)
+    else:
+        wkbpt = np.fromiter(
+            ((not s) and b is not None and len(b) == 21
+             and bytes(b[:5]) == _POINT_WKB_HEAD
+             for s, b in zip(soa, pdf["geom"])),
+            dtype=bool, count=len(pdf))
     feats = []
-    pts = pdf[is_pt]
+    pts = pdf[soa]
     if len(pts):
         feats.extend(_vectorized_points(
-            pts, ext, clip_region, (pts["srid"] != 3857).to_numpy()))
+            pts, pts["lon"].to_numpy(dtype=np.float64),
+            pts["lat"].to_numpy(dtype=np.float64),
+            ext, clip_region, (pts["srid"] != 3857).to_numpy()))
+    pts = pdf[wkbpt]
+    if len(pts):
+        buf = np.frombuffer(b"".join(pts["geom"]), dtype=np.uint8).reshape(-1, 21)
+        feats.extend(_vectorized_points(
+            pts, buf[:, 5:13].copy().view("<f8").ravel(),
+            buf[:, 13:21].copy().view("<f8").ravel(),
+            ext, clip_region, (pts["srid"] != 3857).to_numpy()))
 
-    rest = pdf[~is_pt]
+    rest = pdf[~(soa | wkbpt)]
     rest_tags = _tag_dicts(rest)
     for fid, gwkb, tags, srid in zip(rest["feature_id"], rest["geom"],
                                      rest_tags, rest["srid"]):
@@ -220,18 +255,18 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
 
 
 def point_features(spark: SparkSession, sf_dir: str, docs=None) -> DataFrame:
-    """pages -> geocoded point features (layer 'pages')."""
-    pts = corpus.geocoded_pages(corpus.pages(spark, sf_dir, docs=docs))
+    """pages -> geocoded point features (layer 'pages').
 
-    @F.pandas_udf("binary")
-    def pt_wkb(lon: pd.Series, lat: pd.Series) -> pd.Series:
-        return pd.Series(wkb.encode_points_vectorized(lon.to_numpy(), lat.to_numpy()))
+    SoA transport: points travel as (lon, lat) double columns with geom
+    NULL — no WKB codec UDF touches the corpus (the geocode UDF is the
+    only Python stage before the encode shuffle)."""
+    pts = corpus.geocoded_pages(corpus.pages(spark, sf_dir, docs=docs))
 
     return pts.select(
         F.col("doc_id").alias("feature_id"),
         F.lit("pages").alias("layer"),
         "lon", "lat",
-        pt_wkb("lon", "lat").alias("geom"),
+        F.lit(None).cast("binary").alias("geom"),
         F.lit(4326).alias("srid"),
         F.lit(None).cast("string").alias("tag_type"),
         F.col("url").alias("tag_url"),
@@ -248,6 +283,8 @@ def polygon_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.select(
         "feature_id", "layer", "minx", "miny", "maxx", "maxy", "geom",
         F.lit(4326).alias("srid"),
+        F.lit(None).cast("double").alias("lon"),
+        F.lit(None).cast("double").alias("lat"),
         F.lit(None).cast("string").alias("tag_type"),
         F.lit(None).cast("string").alias("tag_url"),
         F.lit(None).cast("string").alias("tag_lang"),
@@ -288,11 +325,13 @@ def debug_features(spark: SparkSession, zooms) -> DataFrame:
     tag = F.concat(F.lit("Z:"), F.col("z").cast("string"), F.lit(", X:"),
                    F.col("x").cast("string"), F.lit(", Y:"), F.col("y").cast("string"))
     none = F.lit(None).cast("string")
+    noned = F.lit(None).cast("double")
     out_poly = tiles.select(
         "z", "x", "y", F.lit("debug-tile-outline").alias("layer"),
         F.lit(0).cast("long").alias("feature_id"),
         outline("z", "x", "y").alias("geom"),
         F.lit(3857).alias("srid"),
+        noned.alias("lon"), noned.alias("lat"),
         F.lit("debug_buffer_outline").alias("tag_type"),
         none.alias("tag_url"), none.alias("tag_lang"),
         none.alias("tag_name"), none.alias("tag_zxy"))
@@ -301,6 +340,7 @@ def debug_features(spark: SparkSession, zooms) -> DataFrame:
         F.lit(0).cast("long").alias("feature_id"),
         center("z", "x", "y").alias("geom"),
         F.lit(3857).alias("srid"),
+        noned.alias("lon"), noned.alias("lat"),
         F.lit("debug_text").alias("tag_type"),
         none.alias("tag_url"), none.alias("tag_lang"),
         none.alias("tag_name"), tag.alias("tag_zxy"))
@@ -553,9 +593,9 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
             max_features_per_tile=max_features_per_tile, point_zooms=zooms_lo)
 
     # hierarchical path: ONE anchor shuffle for all deep point zooms
+    # (lon/lat ride in FEATURE_COLS since the SoA transport change)
     pts = point_features(spark, sf_dir, docs=docs)
-    anchored = tiling.assign_point_tiles(pts, [anchor_z]) \
-        .select(*FEATURE_COLS, "lon", "lat")
+    anchored = tiling.assign_point_tiles(pts, [anchor_z]).select(*FEATURE_COLS)
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
 
     # same per-(tile, layer) budget policy as the standard path, applied
