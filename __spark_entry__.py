@@ -401,6 +401,26 @@ def q_similarity_ivf(spark, sf_dir):
                                    n_centroids=16, nprobe=4)
 
 
+def q_similarity_ivf_batch(spark, sf_dir):
+    """Large-query-set IVF ANN (the per-document near-neighbor workload):
+    every embedding plus a perturbed twin as queries (|Q| = 2 x n_vecs,
+    >= 1000 at sf0.01), fully DataFrame-native — probe cells are computed
+    in a vectorized map pass and nothing per-query reaches the driver
+    (mirrors knn_pages; round-2 review item)."""
+    from tegola_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = emb.select(F.size("embedding")).first()[0]
+    q1 = emb.select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qemb"))
+    q2 = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("query_id"),
+        F.transform("embedding",
+                    lambda v: v + F.lit(0.01)).alias("qemb"))
+    return similarity.ivf_ann_topk_df(emb, q1.unionByName(q2), k=5, dim=dim,
+                                      n_centroids=16, nprobe=4)
+
+
 def q_raster_rollup(spark, sf_dir):
     """rasterize at res 6 then resample (parent rollup) to res 3 —
     equals direct rasterization at res 3 (oracle computes the latter)."""
@@ -472,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "similarity_ann": q_similarity_ann,
         "similarity_ivf": q_similarity_ivf,
+        "similarity_ivf_batch": q_similarity_ivf_batch,
         "event_windows": q_event_windows,
         "event_sessions": q_event_sessions,
         "raster_rollup": q_raster_rollup,

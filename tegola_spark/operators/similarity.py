@@ -72,31 +72,10 @@ def lsh_signatures(emb: DataFrame, dim: int, n_planes: int = 12,
     return emb.withColumn("_sig", sig(F.col(emb_col)))
 
 
-def lsh_ann_topk(emb: DataFrame, query_ids, k: int, dim: int,
-                 n_planes: int = 12, multiprobe: int = 1,
-                 id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: probe the query's bucket plus every bucket at
-    hamming distance <= multiprobe, exact-rank within the probed set."""
-    sigs = with_norm(lsh_signatures(emb, dim, n_planes, id_col, emb_col), emb_col)
-    base = sigs.select(F.col(id_col).alias("nid"), F.col(emb_col).alias("nemb"),
-                       F.col("_norm").alias("nnorm"), F.col("_sig").alias("nsig"))
-    qrows = base.where(F.col("nid").isin(list(query_ids))).collect()
-    probes = []
-    for r in qrows:
-        s = r["nsig"]
-        cands = {s}
-        if multiprobe >= 1:
-            cands |= {s ^ (1 << i) for i in range(n_planes)}
-        if multiprobe >= 2:
-            cands |= {s ^ (1 << i) ^ (1 << j)
-                      for i in range(n_planes) for j in range(i + 1, n_planes)}
-        probes.extend((r["nid"], c) for c in cands)
-    spark = emb.sparkSession
-    pdf = spark.createDataFrame(probes, "query_id long, nsig int")
-    qside = pdf.join(
-        base.select(F.col("nid").alias("query_id"), F.col("nemb").alias("qemb"),
-                    F.col("nnorm").alias("qnorm")), "query_id")
-    cand = base.join(F.broadcast(qside), "nsig").where(F.col("nid") != F.col("query_id"))
+def _rank_probed(cand: DataFrame, k: int) -> DataFrame:
+    """Exact re-rank within the probed candidate set (shared tail of
+    every ANN variant). WindowGroupLimit pushes the top-k map-side, so
+    <= k rows per query cross the final exchange."""
     cos = (_dot_expr("qemb", "nemb") / (F.col("qnorm") * F.col("nnorm"))).alias("score")
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
     return (
@@ -105,6 +84,55 @@ def lsh_ann_topk(emb: DataFrame, query_ids, k: int, dim: int,
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score_r6"))
     )
+
+
+def lsh_ann_topk_df(emb: DataFrame, queries: DataFrame, k: int, dim: int,
+                    n_planes: int = 12, multiprobe: int = 1,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    query_id_col: str = "query_id",
+                    query_emb_col: str = "qemb",
+                    broadcast_queries: bool = True) -> DataFrame:
+    """Fully-distributed approximate top-k: ``queries`` is a DataFrame
+    of (query_id, qemb) — per-document queries at |Q| = corpus scale
+    never touch the driver. The query's bucket plus every bucket at
+    hamming distance <= multiprobe is generated as PURE column
+    expressions (explode over the static xor-mask list — masks are
+    model-sized constants, data never leaves the JVM), then one
+    equi-join on the bucket id and an exact re-rank. Set
+    ``broadcast_queries=False`` for corpus-sized query sets (shuffled
+    hash join + AQE on the bucket key)."""
+    sigs = with_norm(lsh_signatures(emb, dim, n_planes, id_col, emb_col), emb_col)
+    base = sigs.select(F.col(id_col).alias("nid"), F.col(emb_col).alias("nemb"),
+                       F.col("_norm").alias("nnorm"), F.col("_sig").alias("nsig"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_emb_col).alias("qemb"))
+    qsigs = with_norm(lsh_signatures(q, dim, n_planes, "query_id", "qemb"),
+                      "qemb").withColumnRenamed("_norm", "qnorm")
+    masks = [0]
+    if multiprobe >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if multiprobe >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(n_planes) for j in range(i + 1, n_planes)]
+    probe = F.explode(F.array(*[
+        F.col("_sig").bitwiseXOR(F.lit(m)) for m in masks])).alias("nsig")
+    qside = qsigs.select("query_id", "qemb", "qnorm", probe)
+    if broadcast_queries:
+        qside = F.broadcast(qside)
+    cand = base.join(qside, "nsig").where(F.col("nid") != F.col("query_id"))
+    return _rank_probed(cand, k)
+
+
+def lsh_ann_topk(emb: DataFrame, query_ids, k: int, dim: int,
+                 n_planes: int = 12, multiprobe: int = 1,
+                 id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Approximate top-k for an id list: the query side is carved out of
+    the corpus AS A DATAFRAME and delegated to lsh_ann_topk_df — no
+    driver collect anywhere (round-2 review item closed)."""
+    queries = emb.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("qemb"))
+    return lsh_ann_topk_df(emb, queries, k, dim, n_planes, multiprobe,
+                           id_col, emb_col)
 
 
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 0,
@@ -141,29 +169,46 @@ def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 0,
 
 def ivf_train_centroids(emb: DataFrame, n_centroids: int, dim: int,
                         n_iter: int = 3, id_col: str = "vec_id",
-                        emb_col: str = "embedding") -> np.ndarray:
+                        emb_col: str = "embedding",
+                        max_train: int | None = 65536) -> np.ndarray:
     """Deterministic k-means coarse quantizer, Lloyd iterations as
     DataFrame jobs. Init = the n_centroids lowest-id vectors (seedless,
     reproducible). Per iteration: assignment is one vectorized pandas
     UDF pass (mat @ C.T, L2); the mean-update is a posexplode +
     groupBy(cid, pos) aggregation — only the (n_centroids x dim) model
-    crosses to the driver between iterations, never the data."""
-    cents = np.vstack(
-        [np.asarray(r[emb_col], dtype=np.float64)
-         for r in emb.orderBy(id_col).limit(n_centroids).collect()])
+    crosses to the driver between iterations, never the data.
 
-    for _ in range(n_iter):
-        assigned = ivf_assign(emb, cents, emb_col=emb_col)
-        rows = (
-            assigned.select("_cid", F.posexplode(emb_col).alias("_pos", "_v"))
-            .groupBy("_cid", "_pos").agg(F.avg("_v").alias("m"))
-            .collect()
-        )
-        nxt = cents.copy()  # empty cells keep their previous centroid
-        for r in rows:
-            nxt[r["_cid"], r["_pos"]] = r["m"]
-        cents = nxt
-    return cents
+    ``max_train`` bounds the TRAINING set: above it, Lloyd passes scan a
+    deterministic sample (seeded, ~1.2x oversampled) instead of the full
+    corpus — the FAISS posture (quantizer quality saturates long before
+    corpus size; only the assignment pass needs every vector). None
+    trains on everything."""
+    train = emb
+    if max_train is not None:
+        n = emb.count()
+        if n > max_train:
+            train = emb.sample(fraction=min(1.0, 1.2 * max_train / n),
+                               seed=_SEED)
+    train = train.select(id_col, emb_col).cache()
+    try:
+        cents = np.vstack(
+            [np.asarray(r[emb_col], dtype=np.float64)
+             for r in train.orderBy(id_col).limit(n_centroids).collect()])
+
+        for _ in range(n_iter):
+            assigned = ivf_assign(train, cents, emb_col=emb_col)
+            rows = (
+                assigned.select("_cid", F.posexplode(emb_col).alias("_pos", "_v"))
+                .groupBy("_cid", "_pos").agg(F.avg("_v").alias("m"))
+                .collect()
+            )
+            nxt = cents.copy()  # empty cells keep their previous centroid
+            for r in rows:
+                nxt[r["_cid"], r["_pos"]] = r["m"]
+            cents = nxt
+        return cents
+    finally:
+        train.unpersist()
 
 
 def ivf_assign(emb: DataFrame, centroids: np.ndarray,
@@ -182,45 +227,71 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray,
     return emb.withColumn("_cid", cid(F.col(emb_col)))
 
 
-def ivf_ann_topk(emb: DataFrame, query_ids, k: int, dim: int,
-                 n_centroids: int = 16, nprobe: int = 3, n_iter: int = 3,
-                 id_col: str = "vec_id", emb_col: str = "embedding",
-                 centroids: np.ndarray | None = None) -> DataFrame:
-    """IVF ANN: train/reuse a coarse quantizer, bucket every vector by
-    nearest centroid (the inverted file), then for each query probe its
-    ``nprobe`` nearest centroid cells and exact-rank within the probed
-    set. At corpus scale the cell assignment is one map pass, the probe
-    is an equi-join on _cid, and exact scoring touches only
-    ~nprobe/n_centroids of the corpus — the same plan shape FAISS IVF
-    uses, expressed as DataFrame ops."""
-    if centroids is None:
-        centroids = ivf_train_centroids(emb, n_centroids, dim, n_iter,
-                                        id_col, emb_col)
+def ivf_probe_cells(queries: DataFrame, centroids: np.ndarray, nprobe: int,
+                    emb_col: str = "qemb") -> DataFrame:
+    """+ ``ncid``: one row per (query, probed cell) — the query's
+    ``nprobe`` nearest coarse centroids, computed in one vectorized
+    Arrow pass against the broadcast (n_centroids x dim) model. Same
+    stable-argsort order as the round-2 driver loop, now distributed."""
     cents = np.asarray(centroids, dtype=np.float64)
     c_sq = (cents * cents).sum(axis=1)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        d = c_sq[None, :] - 2.0 * (mat @ cents.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return queries.withColumn("ncid", F.explode(probes(F.col(emb_col))))
+
+
+def ivf_ann_topk_df(emb: DataFrame, queries: DataFrame, k: int, dim: int,
+                    n_centroids: int = 16, nprobe: int = 3, n_iter: int = 3,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    query_id_col: str = "query_id",
+                    query_emb_col: str = "qemb",
+                    centroids: np.ndarray | None = None,
+                    broadcast_queries: bool = True,
+                    max_train: int | None = 65536) -> DataFrame:
+    """Fully-distributed IVF ANN: train/reuse a coarse quantizer
+    (sample-bounded), bucket every vector by nearest centroid (the
+    inverted file), compute each query's ``nprobe`` probe cells in a
+    vectorized map pass (``queries`` is a DataFrame — per-document
+    queries at |Q| = corpus never touch the driver), equi-join on _cid,
+    exact-rank within the probed set. The FAISS-IVF plan shape as
+    DataFrame ops; set ``broadcast_queries=False`` for corpus-sized
+    query sets."""
+    if centroids is None:
+        centroids = ivf_train_centroids(emb, n_centroids, dim, n_iter,
+                                        id_col, emb_col, max_train=max_train)
+    cents = np.asarray(centroids, dtype=np.float64)
 
     base = with_norm(ivf_assign(emb, cents, emb_col), emb_col).select(
         F.col(id_col).alias("nid"), F.col(emb_col).alias("nemb"),
         F.col("_norm").alias("nnorm"), F.col("_cid").alias("ncid"))
 
-    qrows = base.where(F.col("nid").isin(list(query_ids))).collect()
-    probes = []
-    for r in qrows:
-        q = np.asarray(r["nemb"], dtype=np.float64)
-        d = c_sq - 2.0 * (cents @ q)
-        for c in np.argsort(d, kind="stable")[:nprobe]:
-            probes.append((r["nid"], int(c)))
-    spark = emb.sparkSession
-    pdf = spark.createDataFrame(probes, "query_id long, ncid int")
-    qside = pdf.join(
-        base.select(F.col("nid").alias("query_id"), F.col("nemb").alias("qemb"),
-                    F.col("nnorm").alias("qnorm")), "query_id")
-    cand = base.join(F.broadcast(qside), "ncid").where(F.col("nid") != F.col("query_id"))
-    cos = (_dot_expr("qemb", "nemb") / (F.col("qnorm") * F.col("nnorm"))).alias("score")
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
-    return (
-        cand.select("query_id", F.col("nid").alias("neighbor_id"), cos)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("score", 6).alias("score_r6"))
-    )
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_emb_col).alias("qemb"))
+    qside = ivf_probe_cells(
+        with_norm(q, "qemb").withColumnRenamed("_norm", "qnorm"),
+        cents, nprobe, "qemb")
+    if broadcast_queries:
+        qside = F.broadcast(qside)
+    cand = base.join(qside, "ncid").where(F.col("nid") != F.col("query_id"))
+    return _rank_probed(cand, k)
+
+
+def ivf_ann_topk(emb: DataFrame, query_ids, k: int, dim: int,
+                 n_centroids: int = 16, nprobe: int = 3, n_iter: int = 3,
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 centroids: np.ndarray | None = None,
+                 max_train: int | None = 65536) -> DataFrame:
+    """IVF ANN for an id list: the query side is carved out of the
+    corpus AS A DATAFRAME and delegated to ivf_ann_topk_df — no driver
+    collect anywhere (round-2 review item closed)."""
+    queries = emb.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("qemb"))
+    return ivf_ann_topk_df(emb, queries, k, dim, n_centroids, nprobe, n_iter,
+                           id_col, emb_col, centroids=centroids,
+                           max_train=max_train)

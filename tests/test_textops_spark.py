@@ -255,6 +255,55 @@ def test_ivf_ann_recall_planted_clusters(spark):
     assert recall >= 0.9, f"recall {recall}"
 
 
+def test_ivf_df_external_queries_and_sample_training(spark):
+    """DataFrame-native query side (round-2 review item): queries are a
+    DataFrame of EXTERNAL vectors (never collected to the driver), and
+    the quantizer trains on a bounded deterministic sample
+    (max_train < corpus) — recall vs a NumPy-exact oracle stays high."""
+    rng = np.random.default_rng(13)
+    vecs = []
+    for c in range(20):
+        base = rng.standard_normal(32)
+        base /= np.linalg.norm(base)
+        for _ in range(6):
+            v = base + rng.standard_normal(32) * 0.01
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+
+    qsrc = [0, 6, 12, 18, 24, 30]
+    qrows = []
+    for s in qsrc:
+        qv = vecs[s] + rng.standard_normal(32).astype(np.float32) * 0.005
+        qrows.append((1000 + s, qv.tolist()))
+    qdf = spark.createDataFrame(qrows, "query_id long, qemb array<float>")
+
+    out = similarity.ivf_ann_topk_df(df, qdf, k=4, dim=32,
+                                     n_centroids=8, nprobe=2,
+                                     max_train=32)  # < 120 -> sampled train
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    M = np.vstack(vecs).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    hits = 0
+    total = 0
+    for qid, qv in qrows:
+        q = np.asarray(qv, dtype=np.float64)
+        cos = Mn @ (q / np.linalg.norm(q))
+        exact = set(np.argsort(-cos, kind="stable")[:4].tolist())
+        hits += len(exact & got.get(qid, set()))
+        total += 4
+    assert hits / total >= 0.9, f"recall {hits / total}"
+    # determinism of the sampled training + df query side
+    again = similarity.ivf_ann_topk_df(df, qdf, k=4, dim=32,
+                                       n_centroids=8, nprobe=2,
+                                       max_train=32).collect()
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again))
+
+
 def test_ivf_deterministic_and_bounded_probe(emb):
     """Same inputs -> same centroids -> same results; the probed
     candidate set touches only nprobe cells per query."""
