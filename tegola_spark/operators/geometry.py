@@ -283,6 +283,90 @@ def _point_less(p1, p2) -> bool:
     return (p1[0], p1[1]) < (p2[0], p2[1])
 
 
+# ---------------------------------------------------------------------------
+# clip region primitive (reference maths/clip/region — G2 parity surface)
+# ---------------------------------------------------------------------------
+
+def region_sentinels(rmin, rmax, clockwise: bool = True):
+    """The region's 4 sentinel corner points + per-axis down-or-right
+    flags, in the reference's winding-dependent order
+    (maths/clip/region/region.go:56-89)."""
+    minx, miny = rmin
+    maxx, maxy = rmax
+    if clockwise:
+        pts = [(minx, maxy), (minx, miny), (maxx, miny), (maxx, maxy)]
+        down_or_right = [False, True, True, False]
+    else:
+        pts = [(minx, miny), (minx, maxy), (maxx, maxy), (maxx, miny)]
+        down_or_right = [True, True, False, False]
+    return pts, down_or_right
+
+
+def _ex_in_between(seg, pt) -> bool:
+    # maths/line.go:54-75: strict interior of the segment bbox, with a
+    # degenerate (zero-extent) coordinate counting as good
+    (p0, p1) = seg
+    lx, gx = (p0[0], p1[0]) if p0[0] <= p1[0] else (p1[0], p0[0])
+    ly, gy = (p0[1], p1[1]) if p0[1] <= p1[1] else (p1[1], p0[1])
+    goodx = (lx < pt[0] < gx) or (gx - lx == 0)
+    goody = (ly < pt[1] < gy) or (gy - ly == 0)
+    return goodx and goody
+
+
+def region_intersections(seg, rmin, rmax, clockwise: bool = True):
+    """Region.Intersections (maths/clip/region/region.go:146-178 +
+    axis.go:50-75,197-255): the 0-4 intersections of ``seg`` with the
+    region's axes, each tagged with whether the segment is heading
+    INWARD across that axis, in axis order. Duplicates and cancelling
+    pairs are intentionally NOT removed (the reference leaves that to
+    the caller). Returns [(x, y), inward, axis_idx] triples."""
+    p1, p2 = tuple(seg[0]), tuple(seg[1])
+    minx, miny = rmin
+    maxx, maxy = rmax
+
+    def strictly_contains(pt):  # region.go:122-125 (exclusive)
+        return maxx > pt[0] > minx and maxy > pt[1] > miny
+
+    out = []
+    if strictly_contains(p1) and strictly_contains(p2):
+        return out
+    pts, _ = region_sentinels(rmin, rmax, clockwise)
+    dx = p2[0] - p1[0]
+    dy = p2[1] - p1[1]
+    for i in range(4):
+        axis = (pts[i], pts[(i + 1) % 4])
+        pt = _intersect_infinite(axis, seg)  # maths.Intersect arg order
+        if pt is None:
+            continue
+        if not _in_between(seg, pt):
+            continue
+        if not _ex_in_between(axis, pt):
+            # axis.go:63-73: reject parallel-degenerate hits, keep hits
+            # that at least lie on the axis inclusively
+            a_horz = axis[0][1] == axis[1][1]
+            a_vert = axis[0][0] == axis[1][0]
+            s_horz = p1[1] == p2[1]
+            s_vert = p1[0] == p2[0]
+            if (a_horz and s_vert) or (a_vert and s_horz) \
+                    or not _in_between(axis, pt):
+                continue
+        # IsInward (axis.go:197-255): axis 0/2 test dx, axis 1/3 test dy
+        # with the index flipped for counter-clockwise regions
+        idx = i
+        if idx in (0, 2):
+            if dx == 0:
+                continue
+            inward = (dx > 0) if idx == 0 else (dx < 0)
+        else:
+            if dy == 0:
+                continue
+            if not clockwise:
+                idx = 3 if idx == 1 else 1
+            inward = (dy > 0) if idx == 1 else (dy < 0)
+        out.append((pt, inward, i))
+    return out
+
+
 def clip_linestring(pts: np.ndarray, ext):
     """clip.LineString — clip.go:50-122. ``ext`` = (minx, miny, maxx,
     maxy). Returns a list of (n,2) arrays (the clipped multi-line)."""
