@@ -29,6 +29,23 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """Probe for the Iceberg Spark runtime on the JVM classpath. This
+    sandbox ships 287 jars with no iceberg/delta/hudi artifact (verified
+    round 3), so the parquet + JSON-manifest stand-in below stays the
+    default; when a deployment provides the runtime jar this returns
+    True and write_tiles should be swapped for a real Iceberg catalog
+    (partition spec ``(z, bucket(x))``, snapshot-diff resume replacing
+    the manifest anti-join)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource")
+        return True
+    except Exception:
+        return False
+
+
 def write_tiles(tiles: DataFrame, metrics: DataFrame, path: str,
                 mode: str = "append") -> dict:
     """Write the tile table + metrics table + a manifest entry.

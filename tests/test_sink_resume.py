@@ -55,3 +55,24 @@ def test_manifest_counts_batch_not_whole_sink(spark, sf_dir, tmp_path):
     assert [r["n_tiles"] for r in recs] == [5, 16]     # per-batch counts
     assert recs[-1]["n_tiles_total"] == 21             # cumulative from manifest
     assert recs[0]["zooms"] == [0, 1] and recs[-1]["zooms"] == [2]
+
+
+def test_iceberg_probe_and_legacy_manifest_fallback(spark, tmp_path):
+    """The jar probe documents this sandbox's state (no Iceberg runtime
+    among the shipped jars), and manifests written before n_tiles_total
+    existed resume with their then-cumulative n_tiles (ADVICE r2)."""
+    from tegola_spark.sources import sinks
+    import json
+
+    assert sinks.iceberg_available(spark) is False
+
+    path = tmp_path / "sink"
+    path.mkdir()
+    with open(path / "manifest.jsonl", "w") as f:
+        f.write(json.dumps({"ts": 0.0, "n_tiles": 7, "zooms": [0]}) + "\n")
+    tiles = spark.createDataFrame(
+        [(0, 0, 0, bytearray(b"x"))], "z int, x long, y long, tile_bytes binary")
+    metrics = spark.createDataFrame(
+        [(0, 0, 0, "l", 1)], "z int, x long, y long, layer string, n_features long")
+    rec = sinks.write_tiles(tiles, metrics, str(path))
+    assert rec["n_tiles_total"] == 7 + 1
