@@ -10,11 +10,14 @@ stage can be REAL for them instead of a stub:
   * BMP  — uncompressed 24/32-bit BI_RGB pixel decode (bottom-up rows)
   * WAV  — RIFF/fmt parse + 8/16-bit PCM sample decode
   * GIF  — logical-screen header (dims) only
-  * JPEG — SOF0/1/2 marker scan (dims + channels) only; entropy decode
-           genuinely needs a codec library
+  * JPEG — FULL baseline (sequential DCT, Huffman) pixel decode via
+           jpegcodec.py (round-3; closes the round-2 "JPEG entropy
+           decode" stub); progressive/arithmetic fall back to
+           header-only (dims + channels)
 
 Every decoder returns a plain dict; ``pixels``/``samples`` are NumPy
 arrays when pixel/sample decode is supported, else None (header-only).
+The only remaining codec-bound stub is mp4 video.
 """
 
 from __future__ import annotations
@@ -252,12 +255,27 @@ def decode_jpeg_header(b: bytes) -> dict:
     raise MediaDecodeError("JPEG missing SOF marker")
 
 
+def decode_jpeg(b: bytes) -> dict:
+    """Full baseline pixel decode (jpegcodec.py); progressive and
+    arithmetic-coded payloads return header-only info."""
+    from . import jpegcodec
+
+    if b[:3] != b"\xff\xd8\xff":
+        raise MediaDecodeError("not a JPEG")
+    try:
+        info = jpegcodec.decode_jpeg(b)
+    except jpegcodec.JpegError as e:
+        raise MediaDecodeError(str(e)) from e
+    info["samples"] = None
+    return info
+
+
 _DECODERS = {
     "image/png": decode_png,
     "image/bmp": decode_bmp,
     "audio/wav": decode_wav,
     "image/gif": decode_gif_header,
-    "image/jpeg": decode_jpeg_header,
+    "image/jpeg": decode_jpeg,
 }
 
 

@@ -49,10 +49,10 @@ def sniff_media_type(payload: bytes) -> str:
 
 def real_decode(payload: bytes, media_type: str) -> dict:
     """REAL decode for stdlib-decodable formats (mediacodec.py): PNG
-    pixels (non-interlaced 8-bit), BMP 24/32-bit pixels, WAV PCM
-    samples, GIF/JPEG headers. Raises for formats that genuinely need a
-    codec library absent from this container (mp4 video, JPEG entropy
-    decode)."""
+    pixels (non-interlaced 8-bit), baseline JPEG pixels (jpegcodec.py),
+    BMP 24/32-bit pixels, WAV PCM samples, GIF headers. Raises for the
+    one format that genuinely needs a codec library absent from this
+    container (mp4 video)."""
     from . import mediacodec
 
     try:

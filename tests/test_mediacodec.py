@@ -129,6 +129,80 @@ _MALFORMED = [
 ]
 
 
+def _gradient_rgb(h=13, w=20):
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[..., 0] = (xx * 12) % 256
+    px[..., 1] = (yy * 17) % 256
+    px[..., 2] = ((xx + yy) * 7) % 256
+    return px
+
+
+def test_jpeg_444_roundtrip_near_lossless():
+    """Baseline 4:4:4 with flat quant=1: reconstruction differs only by
+    DCT rounding (<= 1 per sample) — the round-2 'JPEG entropy decode'
+    stub is closed."""
+    from tegola_spark.operators import jpegcodec as jc
+
+    px = _gradient_rgb()
+    info = jc.decode_jpeg(jc.encode_jpeg(px, quant=1))
+    assert (info["width"], info["height"]) == (20, 13)
+    err = np.abs(info["pixels"].astype(int) - px.astype(int))
+    assert err.max() <= 1
+
+
+def test_jpeg_grayscale_and_nonaligned_dims():
+    from tegola_spark.operators import jpegcodec as jc
+
+    yy, xx = np.mgrid[0:9, 0:11]
+    g = ((xx * yy * 3) % 256).astype(np.uint8)
+    info = jc.decode_jpeg(jc.encode_jpeg(g, quant=1))
+    assert (info["width"], info["height"], info["channels"]) == (11, 9, 1)
+    assert np.abs(info["pixels"][:, :, 0].astype(int) - g.astype(int)).max() <= 1
+
+
+def test_jpeg_420_subsampling_and_restart_markers():
+    from tegola_spark.operators import jpegcodec as jc
+
+    px = _gradient_rgb(21, 30)
+    b = jc.encode_jpeg(px, quant=1, subsample=True, restart=1)
+    assert b"\xff\xd0" in b  # RST0 emitted
+    info = jc.decode_jpeg(b)
+    assert (info["width"], info["height"]) == (30, 21)
+    err = np.abs(info["pixels"].astype(int) - px.astype(int))
+    # luma is full-res (rounding only); chroma is 2x2-averaged
+    assert err.mean() < 8
+
+
+def test_jpeg_progressive_falls_back_to_header_only():
+    from tegola_spark.operators import jpegcodec as jc
+
+    b = jc.encode_jpeg(_gradient_rgb(), quant=1)
+    # rewrite the SOF0 marker byte to SOF2 (progressive)
+    i = b.index(b"\xff\xc0")
+    b2 = b[:i + 1] + b"\xc2" + b[i + 2:]
+    info = jc.decode_jpeg(b2)
+    assert (info["width"], info["height"]) == (20, 13)
+    assert info["pixels"] is None
+
+
+def test_decode_media_real_jpeg(spark):
+    from tegola_spark.operators import jpegcodec as jc
+
+    px = _gradient_rgb()
+    df = spark.createDataFrame(
+        [(1, bytearray(jc.encode_jpeg(px, quant=1)))],
+        "doc_id long, payload binary")
+    out = mm.decode_media(df).collect()[0]
+    assert out["media_type"] == "image/jpeg"
+    assert (out["width"], out["height"]) == (20, 13)
+    # content features come from REAL pixels: match the PNG of the same
+    # image to within the <=1 DCT rounding
+    png = mc.decode_png(mc.encode_png(px))
+    from tegola_spark.operators.multimodal import _real_features
+    np.testing.assert_allclose(out["feature"], _real_features(png), atol=0.02)
+
+
 def test_decode_malformed_raises_only_mediadecodeerror():
     for payload, mt in _MALFORMED:
         with pytest.raises(mc.MediaDecodeError):
