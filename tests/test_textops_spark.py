@@ -304,6 +304,42 @@ def test_ivf_df_external_queries_and_sample_training(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again))
 
 
+def test_lsh_df_external_queries_recall(spark):
+    """lsh_ann_topk_df with EXTERNAL query vectors (ids not in the
+    corpus): probe buckets are generated as column expressions, and
+    recall vs a NumPy-exact oracle stays high on clustered data."""
+    rng = np.random.default_rng(14)
+    vecs = []
+    for c in range(30):
+        base = rng.standard_normal(32)
+        base /= np.linalg.norm(base)
+        for _ in range(5):
+            v = base + rng.standard_normal(32) * 0.01
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    qsrc = [0, 5, 10, 15, 20, 25]
+    qrows = [(2000 + s,
+              (vecs[s] + rng.standard_normal(32).astype(np.float32) * 0.005)
+              .tolist()) for s in qsrc]
+    qdf = spark.createDataFrame(qrows, "query_id long, qemb array<float>")
+    out = similarity.lsh_ann_topk_df(df, qdf, k=4, dim=32, multiprobe=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    M = np.vstack(vecs).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    hits = total = 0
+    for qid, qv in qrows:
+        q = np.asarray(qv, dtype=np.float64)
+        cos = Mn @ (q / np.linalg.norm(q))
+        exact = set(np.argsort(-cos, kind="stable")[:4].tolist())
+        hits += len(exact & got.get(qid, set()))
+        total += 4
+    assert hits / total >= 0.9, f"recall {hits / total}"
+
+
 def test_ivf_deterministic_and_bounded_probe(emb):
     """Same inputs -> same centroids -> same results; the probed
     candidate set touches only nprobe cells per query."""
