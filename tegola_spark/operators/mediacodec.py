@@ -17,7 +17,12 @@ stage can be REAL for them instead of a stub:
 
 Every decoder returns a plain dict; ``pixels``/``samples`` are NumPy
 arrays when pixel/sample decode is supported, else None (header-only).
-The only remaining codec-bound stub is mp4 video.
+
+  * MP4  — FULL container parse via mp4codec.py (round-3): brand,
+           duration, codec fourcc, dimensions, frame count and the
+           exact per-sample byte ranges (frame-sample extraction is
+           container-exact). Only the entropy-coded sample payloads
+           (H.264/HEVC NALs -> pixels) still need an external codec.
 """
 
 from __future__ import annotations
@@ -270,12 +275,24 @@ def decode_jpeg(b: bytes) -> dict:
     return info
 
 
+def decode_mp4(b: bytes) -> dict:
+    """Container-level decode (mp4codec.py): real dims/frames/duration,
+    pixels=None (sample payloads need an external video codec)."""
+    from . import mp4codec
+
+    try:
+        return mp4codec.decode_mp4(b)
+    except mp4codec.Mp4Error as e:
+        raise MediaDecodeError(str(e)) from e
+
+
 _DECODERS = {
     "image/png": decode_png,
     "image/bmp": decode_bmp,
     "audio/wav": decode_wav,
     "image/gif": decode_gif_header,
     "image/jpeg": decode_jpeg,
+    "video/mp4": decode_mp4,
 }
 
 

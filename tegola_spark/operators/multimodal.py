@@ -2,13 +2,15 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extraction / resize / frame-sample
-run as Arrow-batched ``mapInPandas`` stages. The decode kernels
-themselves are STUBS in this environment (no PIL/ffmpeg/librosa in the
-container — BASELINE round-1 instructions): ``decode_media`` sniffs
-real magic bytes and computes deterministic fake features, and
-``real_decode`` raises NotImplementedError where a production decoder
-would plug in. The Spark-side plumbing — schema, batch iteration,
-partition sizing — is real and tested.
+run as Arrow-batched ``mapInPandas`` stages. The decode kernels are
+REAL for every stdlib-decodable layer (mediacodec.py: PNG/BMP/baseline
+JPEG pixels, WAV PCM samples, GIF headers, MP4 container + sample
+tables); ``decode_media`` computes content features from decoded
+pixels/samples and falls back to deterministic payload-hash features
+only where an external codec library would be required (video sample
+payloads — no PIL/ffmpeg/librosa in this container, per the BASELINE
+round-1 instructions). ``real_decode`` raises NotImplementedError at
+exactly that plug point.
 
 Scale notes: payload columns must NEVER pass through a wide shuffle;
 derive features early, project the payload away, and let the narrow
@@ -36,7 +38,6 @@ _MAGIC = [
     (b"GIF8", "image/gif"),
     (b"BM", "image/bmp"),
     (b"RIFF", "audio/wav"),
-    (b"\x00\x00\x00", "video/mp4"),  # ftyp boxes start with size
 ]
 
 
@@ -44,15 +45,20 @@ def sniff_media_type(payload: bytes) -> str:
     for magic, mt in _MAGIC:
         if payload[: len(magic)] == magic:
             return mt
+    # ISO-BMFF: first box is ftyp; the 4-byte size prefix varies
+    if payload[4:8] == b"ftyp":
+        return "video/mp4"
     return "application/octet-stream"
 
 
 def real_decode(payload: bytes, media_type: str) -> dict:
     """REAL decode for stdlib-decodable formats (mediacodec.py): PNG
     pixels (non-interlaced 8-bit), baseline JPEG pixels (jpegcodec.py),
-    BMP 24/32-bit pixels, WAV PCM samples, GIF headers. Raises for the
-    one format that genuinely needs a codec library absent from this
-    container (mp4 video)."""
+    BMP 24/32-bit pixels, WAV PCM samples, GIF headers, MP4 container
+    metadata + sample tables (mp4codec.py). The only remaining
+    NotImplementedError surface is video SAMPLE-PAYLOAD pixel decode
+    (H.264/HEVC entropy coding needs a codec library absent from this
+    container); everything container-level is real."""
     from . import mediacodec
 
     try:
@@ -140,6 +146,44 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
                 "n_frames", "feature"])
 
     return df.mapInPandas(fn, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = ("doc_id long, frame_idx int, frame_len long, "
+                "frame_bytes binary")
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 5,
+                        max_frames: int | None = 8,
+                        payload_col: str = "payload",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Frame-sample stage: every Nth video sample's RAW bytes, resolved
+    through the real stsz/stsc/stco tables (mp4codec.sample_ranges) —
+    one output row per kept frame. Non-mp4 / malformed payloads yield
+    no rows (a corrupt document must not kill the job).
+
+    Scale: runs as mapInPandas BEFORE any shuffle; downstream should
+    derive per-frame features and project frame_bytes away, exactly
+    like decode_media does with payloads."""
+    from . import mp4codec
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b) if b is not None else b""
+                if sniff_media_type(b) != "video/mp4":
+                    continue
+                try:
+                    frames = mp4codec.frame_samples(
+                        b, every_n=every_n, max_frames=max_frames)
+                except Exception:
+                    continue
+                for j, fb in enumerate(frames):
+                    rows.append((int(i), j * every_n, len(fb), fb))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "frame_len", "frame_bytes"])
+
+    return df.mapInPandas(fn, FRAME_SCHEMA)
 
 
 def media_from_pages(pages: DataFrame) -> DataFrame:

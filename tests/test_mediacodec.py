@@ -108,8 +108,34 @@ def test_decode_media_real_formats(spark):
 
 
 def test_real_decode_raises_for_unsupported():
+    # a bare ftyp fragment is a MALFORMED container (no moov) -> the
+    # NotImplementedError plug point; a VALID mp4 container decodes
+    # for real now (round-3 mp4codec)
     with pytest.raises(NotImplementedError):
         mm.real_decode(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+    from tegola_spark.operators import mp4codec
+    b = mp4codec.encode_mp4([b"frame0", b"frame-one"], width=48, height=32)
+    d = mm.real_decode(b, "video/mp4")
+    assert (d["width"], d["height"], d["n_frames"]) == (48, 32, 2)
+
+
+def test_decode_media_mp4_and_frame_sampling(spark):
+    from tegola_spark.operators import mp4codec
+    frames = [bytes([i]) * (20 + i) for i in range(10)]
+    vid = mp4codec.encode_mp4(frames, width=160, height=120, fps=25)
+    rows = [(1, bytearray(vid)),
+            (2, bytearray(b"\x00\x00\x00\x08ftyp")),  # truncated: no rows
+            (3, bytearray(b"plain text payload"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in mm.decode_media(df).collect()}
+    assert out[1]["media_type"] == "video/mp4"
+    assert (out[1]["width"], out[1]["height"]) == (160, 120)
+    assert out[1]["n_frames"] == 10  # REAL stsz count, not the fake
+    got = mm.sample_video_frames(df, every_n=3, max_frames=3).collect()
+    by_idx = {(r["doc_id"], r["frame_idx"]): bytes(r["frame_bytes"])
+              for r in got}
+    assert by_idx == {(1, 0): frames[0], (1, 3): frames[3],
+                      (1, 6): frames[6]}
 
 
 # corpus bytes that pass the 2-4 byte magic sniff but are NOT valid files:
