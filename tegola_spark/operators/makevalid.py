@@ -161,10 +161,16 @@ class HitMap:
     concatenation (each polygon's ring 0 Inside)."""
 
     def __init__(self, rings, labels=None):
-        self.rings = [np.asarray(r, dtype=np.float64) for r in rings]
+        rings = [np.asarray(r, dtype=np.float64) for r in rings]
         if labels is None:
-            labels = [i == 0 for i in range(len(self.rings))]
-        self.labels = list(labels)
+            labels = [i == 0 for i in range(len(rings))]
+        # degenerate rings (< 1 segment) contribute no events and are
+        # dropped with their labels — NewFromPolygon accepts nil/empty
+        # polygons and empty lines without panicking (hitmap_test.go:
+        # 131-199); an empty hitmap labels everything Outside
+        kept = [(r, l) for r, l in zip(rings, labels) if len(r) >= 2]
+        self.rings = [r for r, _ in kept]
+        self.labels = [l for _, l in kept]
         self._events = [_RingEvents(r) for r in self.rings]
 
     def inside(self, pts: np.ndarray) -> np.ndarray:

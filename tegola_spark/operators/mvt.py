@@ -205,6 +205,65 @@ def rectify_polygon(rings, y_positive_down: bool):
     return out
 
 
+def winding_of_pts(pts: np.ndarray) -> int:
+    """basic-geometry winding (maths/windingorder.go:34-49) — the
+    reference's OTHER convention, distinct from winding(): raw shoelace
+    sum; sum < 0 -> CounterClockwise, else (INCLUDING 0) -> Clockwise.
+    Used by the ring-grouping cleaner below, exactly as
+    basic.Line.Direction() feeds cleanPolygon."""
+    pts = np.asarray(pts, dtype=np.float64)
+    if len(pts) == 0:
+        return CLOCKWISE
+    s = float(np.dot(pts[:, 0], np.roll(pts[:, 1], -1))
+              - np.dot(np.roll(pts[:, 0], -1), pts[:, 1]))
+    return COUNTER_CLOCKWISE if s < 0 else CLOCKWISE
+
+
+def clean_polygon(rings):
+    """cleanPolygon (basic/maths/clean.go:17-55): group a ring list
+    into valid polygons — each Clockwise ring (basic convention) starts
+    a new polygon, CounterClockwise rings are its holes; CCW rings with
+    no open shell are returned as invalids; empty rings are skipped.
+    Returns (polygons, invalids)."""
+    polygons, invalids = [], []
+    current = None
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        if len(r) == 0:
+            continue
+        if winding_of_pts(r) == CLOCKWISE:
+            if current is not None:
+                polygons.append(current)
+            current = []
+        elif current is None:
+            invalids.append(r)
+            continue
+        current.append(r)
+    if current is not None:
+        polygons.append(current)
+    return polygons, invalids
+
+
+def clean_multipolygon(polys):
+    """cleanMultiPolygon (basic/maths/clean.go:59-76): re-group a
+    MultiPolygon's rings into OGC shape. A member polygon consisting of
+    orphan CCW rings attaches them as holes to the LAST cleaned polygon
+    (the "polygon broken up" case); orphans with no prior polygon are
+    an error. Quirk ported exactly: when a member has BOTH invalid
+    rings and valid polygons, the reference `continue`s and DROPS the
+    valid ones."""
+    mp = []
+    for p in polys:
+        poly, invalids = clean_polygon(p)
+        if invalids:
+            if not mp:
+                raise ValueError("unable to clean MultiPolygon")
+            mp[-1].extend(invalids)
+            continue
+        mp.extend(poly)
+    return mp
+
+
 # ---------------------------------------------------------------------------
 # E1-E4: geometry command stream
 # ---------------------------------------------------------------------------
