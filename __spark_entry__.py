@@ -322,6 +322,20 @@ def q_similarity_ann(spark, sf_dir):
                                    n_planes=8, multiprobe=2)
 
 
+def q_similarity_selfjoin(spark, sf_dir):
+    """Per-document near-neighbor SELF-join (|Q| = corpus): every
+    vector queries the IVF index with broadcast_queries=False — the
+    shuffled-hash bucket join a corpus-sized query side needs at
+    100 TB (the batch entry exercises the broadcast path). Rows-only
+    like the other ANN entries; recall asserted in tests."""
+    from tegola_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = emb.select(F.size("embedding")).first()[0]
+    return similarity.ann_self_topk(emb, k=3, dim=dim, n_centroids=16,
+                                    nprobe=4)
+
+
 def q_minhash_pairs(spark, sf_dir):
     from tegola_spark.operators import dedup
     from tegola_spark.sources import corpus
@@ -493,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann": q_similarity_ann,
         "similarity_ivf": q_similarity_ivf,
         "similarity_ivf_batch": q_similarity_ivf_batch,
+        "similarity_selfjoin": q_similarity_selfjoin,
         "event_windows": q_event_windows,
         "event_sessions": q_event_sessions,
         "raster_rollup": q_raster_rollup,

@@ -81,5 +81,5 @@ def test_every_query_declares_oracle_or_is_documented(entrymod):
     # rows-only set is intentional and bounded (binary/LSH/stub ops)
     assert rows_only <= {"mvt_tiles", "mvt_tiles_hier", "mvt_layer_metrics",
                          "similarity_ann", "similarity_ivf",
-                         "similarity_ivf_batch", "minhash_pairs",
+                         "similarity_ivf_batch", "similarity_selfjoin", "minhash_pairs",
                          "simhash_fingerprints", "multimodal_decode"}

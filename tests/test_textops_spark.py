@@ -340,6 +340,38 @@ def test_lsh_df_external_queries_recall(spark):
     assert hits / total >= 0.9, f"recall {hits / total}"
 
 
+def test_ann_self_topk_recall(spark):
+    """Self-join ANN (every vector queries the index, non-broadcast
+    query side): IVF recall vs the NumPy-exact self-kNN stays high on
+    clustered data, and no query pairs with itself."""
+    rng = np.random.default_rng(21)
+    vecs = []
+    for c in range(20):
+        base = rng.standard_normal(24)
+        base /= np.linalg.norm(base)
+        for _ in range(6):
+            v = base + rng.standard_normal(24) * 0.02
+            vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    out = similarity.ann_self_topk(df, k=3, dim=24, n_centroids=8, nprobe=3)
+    got = {}
+    for r in out.collect():
+        assert r["neighbor_id"] != r["query_id"]
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    M = np.vstack(vecs).astype(np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = Mn @ Mn.T
+    np.fill_diagonal(cos, -np.inf)
+    hits = total = 0
+    for qid in range(len(vecs)):
+        exact = set(np.argsort(-cos[qid], kind="stable")[:3].tolist())
+        hits += len(exact & got.get(qid, set()))
+        total += 3
+    assert hits / total >= 0.9, f"recall {hits / total}"
+
+
 def test_ivf_deterministic_and_bounded_probe(emb):
     """Same inputs -> same centroids -> same results; the probed
     candidate set touches only nprobe cells per query."""
