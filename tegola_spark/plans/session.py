@@ -15,8 +15,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _submit_master() -> str | None:
+    """spark.master injected by spark-submit (None under plain python).
+    spark-submit passes --master through the launcher env; a pinned
+    local[N] here would silently override a cluster master, so
+    get_spark only pins when the caller asked for a core count."""
+    try:
+        from pyspark import SparkConf
+
+        m = SparkConf().get("spark.master", None)
+        return m or None
+    except Exception:
+        return None
+
+
 def get_spark(app_name: str = "tegola_spark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
+    pin_master = cpus is not None or "SPARK_GRAFT_CPUS" in os.environ \
+        or _submit_master() is None
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:
@@ -30,7 +46,6 @@ def get_spark(app_name: str = "tegola_spark", cpus: int | None = None,
         os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder
-        .master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -45,6 +60,12 @@ def get_spark(app_name: str = "tegola_spark", cpus: int | None = None,
         # allocation/GC pathology). 24g is the sweet spot at both levels.
         .config("spark.driver.memory", os.environ.get(
             "SPARK_GRAFT_DRIVER_MEM", "24g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (local-mode overhead); SPARK_GRAFT_UI=1
+        # enables it so bench.py can read per-stage shuffle volumes from
+        # the status REST API (the bytes-shuffled-per-tile metric)
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false")
     )
+    if pin_master:
+        builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()
