@@ -101,7 +101,11 @@ def run_bench(sf_dir: str, cpus: int, zooms=range(0, 6), scale_mult: int = 1) ->
         n_tiles["features"] = row[2]
         return row
 
+    shuffle_pre = _shuffle_totals(spark)  # exclude warmup/expansion stages
     timed("mvt_pipeline", tile_pipeline)
+    shuffle = _shuffle_totals(spark)      # pipeline stages only
+    if shuffle is not None and shuffle_pre is not None:
+        shuffle = {k: shuffle[k] - shuffle_pre[k] for k in shuffle}
     timed("spatial_join_nations", lambda: sj.spatial_join(
         points, layers.nation_layer(spark, sf_dir), res=6).count())
     timed("spatial_join_regions", lambda: sj.spatial_join(
@@ -138,8 +142,39 @@ def run_bench(sf_dir: str, cpus: int, zooms=range(0, 6), scale_mult: int = 1) ->
         "n_features_encoded": int(n_tiles.get("features", 0)),
         "tile_bytes": int(n_tiles.get("bytes", 0)),
     }
+    if shuffle is not None and n_tiles.get("tiles"):
+        # bytes crossing exchanges per produced tile: unlike local-mode
+        # wall-clock efficiency (host memcpy-bound, BENCH.md), this IS
+        # the quantity that predicts cluster behavior at 100 TB — the
+        # hierarchical build won round 2's scaling gain by cutting it 6x
+        result["shuffle_write_bytes"] = shuffle["write"]
+        result["shuffle_read_bytes"] = shuffle["read"]
+        result["shuffle_bytes_per_tile"] = round(
+            shuffle["write"] / n_tiles["tiles"], 1)
     spark.stop()
     return result
+
+
+def _shuffle_totals(spark):
+    """Sum shuffle read/write bytes over all completed stages via the
+    status REST API. Requires SPARK_GRAFT_UI=1 (session.py); returns
+    None when the UI is off so the default bench protocol is unchanged."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    try:
+        apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications",
+                                                timeout=10))
+        app_id = apps[0]["id"]
+        stages = json.load(urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10))
+        return {"write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+                "read": sum(s.get("shuffleReadBytes", 0) for s in stages)}
+    except Exception:
+        return None
 
 
 def main():
