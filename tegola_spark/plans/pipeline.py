@@ -418,7 +418,9 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
                 default_tags: dict | None = None,
                 simplify: bool = False,
                 repair_polygons: bool = True,
-                point_zooms=None) -> tuple[DataFrame, DataFrame]:
+                point_zooms=None,
+                tile_filter: DataFrame | None = None
+                ) -> tuple[DataFrame, DataFrame]:
     """Returns (layer_metrics_df, tiles_df).
 
     layer_metrics_df: one row per (z,x,y,layer) with blob + lineage.
@@ -432,6 +434,12 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
     ``point_zooms``: zooms the POINT layer fans out to (default: same
     as ``zooms``); build_tiles_hierarchical passes the low zooms here
     and derives the deep zooms from one anchor shuffle.
+
+    ``tile_filter``: optional DataFrame of (z, x, y) keys — only those
+    tiles are built (semi-join on the fanned-out features BEFORE the
+    cap window and the encode shuffle, so encode work is proportional
+    to the filtered tile set). Used by streaming incremental
+    maintenance (streaming/live.py) to rebuild only affected tiles.
     """
     pzooms = list(zooms) if point_zooms is None else list(point_zooms)
     if pzooms:
@@ -461,6 +469,12 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
 
     if default_tags:
         feats = merge_default_tags(feats, default_tags)
+
+    if tile_filter is not None:
+        keys = tile_filter.select(
+            F.col("z").cast("int"), F.col("x").cast("long"),
+            F.col("y").cast("long")).distinct()
+        feats = feats.join(F.broadcast(keys), ["z", "x", "y"], "left_semi")
 
     if max_features_per_tile == "auto":
         cap = F.when(F.col("z") <= 4, F.lit(CAP_LOW_ZOOM)) \
