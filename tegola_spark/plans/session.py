@@ -60,6 +60,14 @@ def get_spark(app_name: str = "tegola_spark", cpus: int | None = None,
         # allocation/GC pathology). 24g is the sweet spot at both levels.
         .config("spark.driver.memory", os.environ.get(
             "SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # zstd shuffle/spill compression: measured A/B at mult=600
+        # z0..10 (BENCH.md round 3) — wall-neutral at BOTH local[8] and
+        # local[32] vs lz4, and 30% fewer bytes cross the exchange
+        # (1,153 -> 807 B/tile). Locally shuffle hits page cache so
+        # bytes don't cost wall time; on a network-shuffled cluster
+        # they do, and bytes-per-tile is the cluster-predictive metric.
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"))
         # UI off by default (local-mode overhead); SPARK_GRAFT_UI=1
         # enables it so bench.py can read per-stage shuffle volumes from
         # the status REST API (the bytes-shuffled-per-tile metric)
