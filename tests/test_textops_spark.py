@@ -340,6 +340,24 @@ def test_lsh_df_external_queries_recall(spark):
     assert hits / total >= 0.9, f"recall {hits / total}"
 
 
+def test_bpe_token_count_matches_python_re(spark):
+    """col_bpe_token_count == a pure-Python re count of the same
+    pattern (the third engine besides Spark/Java and DuckDB/RE2)."""
+    import re
+
+    from tegola_spark.operators import textstats as ts
+
+    texts = ["Hello world, it's 2026!", "", "   ", "a1b2 c3's... don't",
+             "tabs\tand\nnewlines stay separators", "¡unicode! déjà vu"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {r["i"]: r["n"] for r in df.select(
+        "i", ts.col_bpe_token_count(F.col("text")).alias("n")).collect()}
+    pat = re.compile(ts.BPE_SPLIT_PATTERN)
+    for i, t in enumerate(texts):
+        assert got[i] == len(pat.findall(t)), (t, got[i])
+
+
 def test_ann_self_topk_recall(spark):
     """Self-join ANN (every vector queries the index, non-broadcast
     query side): IVF recall vs the NumPy-exact self-kNN stays high on
