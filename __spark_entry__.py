@@ -282,6 +282,39 @@ def q_bpe_token_stats(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Word-trigram Jaccard over same-language rank-adjacent document
+    pairs — the n-gram-similarity KERNEL as pure array-column
+    expressions (textstats.col_word_ngrams/col_jaccard), value-exact
+    against DuckDB list algebra. In the dedup pipeline this kernel
+    runs only on LSH candidate pairs (operators/dedup.py); pairing by
+    rank here just gives the oracle a deterministic pair set — which
+    happens to catch real near-dupes in the corpus (max jaccard 0.98
+    at sf0.01)."""
+    from tegola_spark.operators import textstats
+    from tegola_spark.sources import corpus
+    from pyspark.sql import Window as W
+
+    doc = corpus.documents(spark, sf_dir)
+    d = doc.select(
+        "doc_id", "lang",
+        textstats.col_word_ngrams(F.col("text")).alias("g"))
+    d = d.withColumn(
+        "rk", F.row_number().over(W.partitionBy("lang").orderBy("doc_id")))
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.rk") + 1 == F.col("b.rk")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.lang").alias("lang"),
+                F.size("a.g").alias("n_tri_a"),
+                F.size("b.g").alias("n_tri_b"),
+                F.round(textstats.col_jaccard(F.col("a.g"), F.col("b.g")),
+                        6).alias("jaccard_r6"))
+    )
+
+
 def q_quality_scores(spark, sf_dir):
     from tegola_spark.operators import textstats
     from tegola_spark.sources import corpus
@@ -518,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_norm": q_dedup_norm,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
+        "ngram_jaccard": q_ngram_jaccard,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -752,6 +786,29 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG({bpe_tok}), 6) AS avg_bpe_tokens,
                    CAST(MAX({bpe_tok}) AS BIGINT) AS max_bpe_tokens
             FROM documents GROUP BY lang
+        """,
+        "ngram_jaccard": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents
+            ), tris AS (
+              SELECT doc_id, lang,
+                     list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                    for i in range(1, greatest(len(t)-1, 1))]) AS g
+              FROM toks
+            ), ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY lang
+                                           ORDER BY doc_id) AS rk
+              FROM tris
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+                   len(a.g) AS n_tri_a, len(b.g) AS n_tri_b,
+                   ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
+                         greatest(len(list_distinct(a.g || b.g)), 1),
+                         6) AS jaccard_r6
+            FROM ranked a JOIN ranked b
+              ON a.lang = b.lang AND a.rk + 1 = b.rk
         """,
         "quality_scores": f"""
             SELECT doc_id,

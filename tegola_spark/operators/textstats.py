@@ -38,6 +38,27 @@ def col_bpe_token_count(c):
     return F.regexp_count(c, F.lit(BPE_SPLIT_PATTERN))
 
 
+def col_word_ngrams(c, n: int = 3):
+    """DISTINCT word n-gram set (space-joined) as a pure column
+    expression — the shingle set for n-gram Jaccard similarity.
+    Texts with fewer than ``n`` tokens yield an empty array (guarded:
+    sequence() with start > stop would generate a DESCENDING range)."""
+    toks = F.split(F.trim(c), r"\s+")
+    sz = F.size(toks)
+    return F.when(sz >= n, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), sz - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+    ))).otherwise(F.array().cast("array<string>"))
+
+
+def col_jaccard(a, b):
+    """Jaccard similarity of two array columns (set semantics via
+    array_intersect/array_union); both-empty -> 0."""
+    return (F.size(F.array_intersect(a, b))
+            / F.greatest(F.size(F.array_union(a, b)), F.lit(1)))
+
+
 def col_token_count(c):
     """Whitespace token count; empty/blank -> 0."""
     t = F.trim(c)

@@ -358,6 +358,28 @@ def test_bpe_token_count_matches_python_re(spark):
         assert got[i] == len(pat.findall(t)), (t, got[i])
 
 
+def test_word_ngrams_and_jaccard(spark):
+    from tegola_spark.operators import textstats as ts
+
+    rows = [(0, "a b c d"), (1, "b c d e"), (2, "x y"), (3, ""),
+            (4, "a b c d")]
+    df = spark.createDataFrame(rows, "i long, text string")
+    g = {r["i"]: set(r["g"]) for r in df.select(
+        "i", ts.col_word_ngrams(F.col("text")).alias("g")).collect()}
+    assert g[0] == {"a b c", "b c d"}
+    assert g[1] == {"b c d", "c d e"}
+    assert g[2] == set() and g[3] == set()  # < n tokens -> empty
+    a = df.where("i = 0").select(ts.col_word_ngrams(F.col("text")).alias("ga"))
+    pairs = a.crossJoin(df.where("i = 1").select(
+        ts.col_word_ngrams(F.col("text")).alias("gb")))
+    j = pairs.select(ts.col_jaccard(F.col("ga"), F.col("gb")).alias("j")).first()["j"]
+    assert j == pytest.approx(1 / 3)  # {b c d} over 3 union grams
+    # identical docs -> 1.0; both-empty -> 0
+    same = df.where("i = 0").select(ts.col_word_ngrams(F.col("text")).alias("ga")) \
+        .crossJoin(df.where("i = 4").select(ts.col_word_ngrams(F.col("text")).alias("gb")))
+    assert same.select(ts.col_jaccard(F.col("ga"), F.col("gb")).alias("j")).first()["j"] == 1.0
+
+
 def test_ann_self_topk_recall(spark):
     """Self-join ANN (every vector queries the index, non-broadcast
     query side): IVF recall vs the NumPy-exact self-kNN stays high on
