@@ -142,15 +142,12 @@ def _tag_dicts(pdf: pd.DataFrame) -> list:
     return out
 
 
-def _vectorized_points(pdf: pd.DataFrame, lon: np.ndarray, lat: np.ndarray,
-                       ext, clip_region, srid_mask) -> list:
-    """Fast path: every point in the group is projected (P8), quantized
-    (P9), clipped and command-encoded in a handful of NumPy passes over
-    the (lon, lat) arrays — SoA transport hands these in as zero-copy
-    Arrow views; the legacy WKB-point caller decodes them in one
-    frombuffer pass. Per-feature cursors start at (0,0)
-    (feature.go:139-146), so a point feature's stream is just
-    [MoveTo(1), zigzag(trunc px), zigzag(trunc py)]."""
+def _project_points(lon: np.ndarray, lat: np.ndarray, ext, clip_region,
+                    srid_mask):
+    """P8 projection + P9 quantization + clip for a point batch:
+    returns (keep_mask, zigzagged (n, 2) uint32 pixel coords for ALL
+    points). Per-feature cursors start at (0,0) (feature.go:139-146),
+    so a point feature's stream is [MoveTo(1), zz_x, zz_y]."""
     px_x = np.where(srid_mask, mercator.lon_to_x(lon), lon)
     px_y = np.where(srid_mask, mercator.lat_to_y(lat), lat)
     minx, miny, maxx, maxy = ext
@@ -161,6 +158,17 @@ def _vectorized_points(pdf: pd.DataFrame, lon: np.ndarray, lat: np.ndarray,
     ix = qx.astype(np.int64)
     iy = qy.astype(np.int64)
     zz = mvt.zigzag(np.column_stack([ix, iy]).ravel()).reshape(-1, 2)
+    return keep, zz.astype(np.uint32)
+
+
+def _vectorized_points(pdf: pd.DataFrame, lon: np.ndarray, lat: np.ndarray,
+                       ext, clip_region, srid_mask) -> list:
+    """Fast path: every point in the group is projected (P8), quantized
+    (P9), clipped and command-encoded in a handful of NumPy passes over
+    the (lon, lat) arrays — SoA transport hands these in as zero-copy
+    Arrow views; the legacy WKB-point caller decodes them in one
+    frombuffer pass."""
+    keep, zz = _project_points(lon, lat, ext, clip_region, srid_mask)
     move1 = mvt.command(mvt.CMD_MOVETO, 1)
     feats = []
     fids = pdf["feature_id"].to_numpy()
@@ -196,6 +204,48 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
         soa = pdf["lon"].notna().to_numpy()
     else:
         soa = np.zeros(len(pdf), dtype=bool)
+
+    # full-bypass for pure-SoA point groups (the corpus case): project,
+    # clip, zigzag and emit the ENTIRE layer from column arrays —
+    # no per-feature dicts anywhere (mvt.encode_point_layer_arrays;
+    # byte-identical to the dict path by differential test). Gated on
+    # the emission-strategy switch (mvt._VECTORIZE_POINT_BLOCK — see
+    # the crossover measurement there); falls back when any tag column
+    # holds non-string values (e.g. numeric default_tags) — the
+    # factorize dictionary can't reproduce type-sensitive value
+    # identity then.
+    if mvt._VECTORIZE_POINT_BLOCK and soa.all() and len(pdf):
+        tag_cols = []
+        strings_only = True
+        for c in pdf.columns:
+            if not c.startswith("tag_"):
+                continue
+            arr = pdf[c].to_numpy()
+            m = pd.notna(arr)
+            if m.any() and not all(type(v) is str for v in arr[m].tolist()):
+                strings_only = False
+                break
+            tag_cols.append((c[4:], arr))
+        if strings_only:
+            keep, zz = _project_points(
+                pdf["lon"].to_numpy(dtype=np.float64),
+                pdf["lat"].to_numpy(dtype=np.float64),
+                ext, clip_region, (pdf["srid"] != 3857).to_numpy())
+            fids = pdf["feature_id"].to_numpy(dtype=np.int64)[keep]
+            body = mvt.encode_point_layer_arrays(
+                layer, fids, zz[keep],
+                [(k, a[keep]) for k, a in tag_cols])
+            blob = mvt.encode_tile([body])
+            cap_dropped = int(pdf["_cap_dropped"].iloc[0]) \
+                if "_cap_dropped" in pdf.columns and len(pdf) else 0
+            n_feats = int(keep.sum())
+            return {
+                "z": z, "x": x, "y": y, "layer": layer,
+                "layer_bytes": blob, "n_features": n_feats,
+                "n_dropped": n_in - n_feats + cap_dropped,
+                "bytes": len(blob),
+                "encode_ms": (time.perf_counter() - t0) * 1000.0,
+            }
     if soa.all() and len(pdf):
         wkbpt = np.zeros(len(pdf), dtype=bool)
     else:
