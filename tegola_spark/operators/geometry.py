@@ -313,6 +313,55 @@ def _ex_in_between(seg, pt) -> bool:
     return goodx and goody
 
 
+def region_axis_intersect(seg, rmin, rmax, axis_idx: int,
+                          clockwise: bool = True):
+    """Axis.Intersect (axis.go:50-75): (pt, does_intersect). The
+    infinite-line hit must lie ON the segment (inclusive) and in the
+    axis's strict interior — except that a corner hit still counts
+    when the segment is NOT perpendicular-axis-aligned and lies on the
+    axis inclusively (the diagonal-through-corner case of the
+    reference's own axis table)."""
+    pts, _ = region_sentinels(rmin, rmax, clockwise)
+    axis = (pts[axis_idx], pts[(axis_idx + 1) % 4])
+    pt = _intersect_infinite(axis, seg)  # maths.Intersect arg order
+    if pt is None:
+        return None, False
+    if not _in_between(seg, pt):
+        return pt, False
+    if not _ex_in_between(axis, pt):
+        # axis.go:63-73: reject parallel-degenerate hits, keep hits
+        # that at least lie on the axis inclusively
+        p1, p2 = tuple(seg[0]), tuple(seg[1])
+        a_horz = axis[0][1] == axis[1][1]
+        a_vert = axis[0][0] == axis[1][0]
+        s_horz = p1[1] == p2[1]
+        s_vert = p1[0] == p2[0]
+        if (a_horz and s_vert) or (a_vert and s_horz) \
+                or not _in_between(axis, pt):
+            return pt, False
+    return pt, True
+
+
+def region_axis_is_inward(seg, axis_idx: int, clockwise: bool = True):
+    """Axis.IsInward (axis.go:197-255): (inward, ok); ok=False is the
+    reference's ErrNoDirection (segment parallel to the axis pair).
+    Axes 0/2 test dx, 1/3 test dy, with the 1/3 roles swapped for
+    counter-clockwise regions."""
+    p1, p2 = tuple(seg[0]), tuple(seg[1])
+    dx = p2[0] - p1[0]
+    dy = p2[1] - p1[1]
+    idx = axis_idx
+    if idx in (0, 2):
+        if dx == 0:
+            return False, False
+        return ((dx > 0) if idx == 0 else (dx < 0)), True
+    if dy == 0:
+        return False, False
+    if not clockwise:
+        idx = 3 if idx == 1 else 1
+    return ((dy > 0) if idx == 1 else (dy < 0)), True
+
+
 def region_intersections(seg, rmin, rmax, clockwise: bool = True):
     """Region.Intersections (maths/clip/region/region.go:146-178 +
     axis.go:50-75,197-255): the 0-4 intersections of ``seg`` with the
@@ -330,39 +379,13 @@ def region_intersections(seg, rmin, rmax, clockwise: bool = True):
     out = []
     if strictly_contains(p1) and strictly_contains(p2):
         return out
-    pts, _ = region_sentinels(rmin, rmax, clockwise)
-    dx = p2[0] - p1[0]
-    dy = p2[1] - p1[1]
     for i in range(4):
-        axis = (pts[i], pts[(i + 1) % 4])
-        pt = _intersect_infinite(axis, seg)  # maths.Intersect arg order
-        if pt is None:
+        pt, ok = region_axis_intersect(seg, rmin, rmax, i, clockwise)
+        if not ok:
             continue
-        if not _in_between(seg, pt):
+        inward, has_dir = region_axis_is_inward(seg, i, clockwise)
+        if not has_dir:
             continue
-        if not _ex_in_between(axis, pt):
-            # axis.go:63-73: reject parallel-degenerate hits, keep hits
-            # that at least lie on the axis inclusively
-            a_horz = axis[0][1] == axis[1][1]
-            a_vert = axis[0][0] == axis[1][0]
-            s_horz = p1[1] == p2[1]
-            s_vert = p1[0] == p2[0]
-            if (a_horz and s_vert) or (a_vert and s_horz) \
-                    or not _in_between(axis, pt):
-                continue
-        # IsInward (axis.go:197-255): axis 0/2 test dx, axis 1/3 test dy
-        # with the index flipped for counter-clockwise regions
-        idx = i
-        if idx in (0, 2):
-            if dx == 0:
-                continue
-            inward = (dx > 0) if idx == 0 else (dx < 0)
-        else:
-            if dy == 0:
-                continue
-            if not clockwise:
-                idx = 3 if idx == 1 else 1
-            inward = (dy > 0) if idx == 1 else (dy < 0)
         out.append((pt, inward, i))
     return out
 
