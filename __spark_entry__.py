@@ -315,6 +315,69 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_lineitem_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary over lineitem (the engine's
+    relational-agg surface on the provided fact table): map-side
+    partial aggregation, DECIMAL sums so the result is exact and
+    summation-order-independent (double sums across 60k rows differ
+    between engines in the last digits); per-row products rounded to a
+    fixed scale BEFORE the decimal cast, deterministically in both
+    engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dqty = F.col("l_quantity").cast("decimal(18,2)")
+    dprice = F.col("l_extendedprice").cast("decimal(18,2)")
+    # discount/tax are exact 2-decimal values: round the double ONCE
+    # into a decimal factor, then multiply in decimal — fully exact,
+    # no engine-dependent double-product rounding anywhere
+    fdisc = F.round(F.lit(1) - F.col("l_discount"), 2).cast("decimal(4,2)")
+    ftax = F.round(F.lit(1) + F.col("l_tax"), 2).cast("decimal(4,2)")
+    disc = dprice * fdisc
+    charge = dprice * fdisc * ftax
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-01-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(dqty).cast("double").alias("sum_qty"),
+             F.sum(dprice).cast("double").alias("sum_base_price"),
+             F.sum(disc).cast("double").alias("sum_disc_price"),
+             F.sum(charge).cast("double").alias("sum_charge"),
+             F.count("*").alias("n_items"))
+    )
+
+
+def q_orders_by_nation(spark, sf_dir):
+    """Revenue per nation: orders shuffled-join customer on custkey,
+    nation broadcast (the small-dim broadcast shape); exact decimal
+    revenue."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey))
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").alias("revenue"))
+
+
+def q_parts_top_per_brand(spark, sf_dir):
+    """Top-3 parts by retail price per brand (window top-N with
+    deterministic tie-break) joined to supplier count per size class —
+    exercises part and supplier."""
+    from pyspark.sql import Window as W
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    w = W.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.col("p_partkey"))
+    top = (part.withColumn("rk", F.row_number().over(w))
+           .where(F.col("rk") <= 3))
+    n_supp = supp.count()
+    return top.select(
+        "p_brand", "rk", "p_partkey",
+        F.round("p_retailprice", 2).alias("price_r2"),
+        F.lit(n_supp).cast("long").alias("n_suppliers"))
+
+
 def q_quality_scores(spark, sf_dir):
     from tegola_spark.operators import textstats
     from tegola_spark.sources import corpus
@@ -552,6 +615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "ngram_jaccard": q_ngram_jaccard,
+        "lineitem_pricing": q_lineitem_pricing,
+        "orders_by_nation": q_orders_by_nation,
+        "parts_top_per_brand": q_parts_top_per_brand,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -786,6 +852,47 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG({bpe_tok}), 6) AS avg_bpe_tokens,
                    CAST(MAX({bpe_tok}) AS BIGINT) AS max_bpe_tokens
             FROM documents GROUP BY lang
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(ROUND(1 - l_discount, 2) AS DECIMAL(4,2)))
+                        AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(ROUND(1 - l_discount, 2) AS DECIMAL(4,2))
+                            * CAST(ROUND(1 + l_tax, 2) AS DECIMAL(4,2)))
+                        AS DOUBLE) AS sum_charge,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-01-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_nation": """
+            SELECT n_name, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "parts_top_per_brand": """
+            WITH ranked AS (
+              SELECT p_brand,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY p_retailprice DESC,
+                                                 p_partkey) AS rk,
+                     p_partkey, p_retailprice
+              FROM part
+            )
+            SELECT p_brand, rk, p_partkey,
+                   ROUND(p_retailprice, 2) AS price_r2,
+                   (SELECT COUNT(*) FROM supplier) AS n_suppliers
+            FROM ranked WHERE rk <= 3
         """,
         "ngram_jaccard": r"""
             WITH toks AS (
