@@ -260,6 +260,44 @@ def tiles_for_bounds(min_lon, min_lat, max_lon, max_lat, zooms):
     return out
 
 
+def parse_tile_name(line: str):
+    """Default z/x/y tile-name format (cmd/tegola/cmd/cache/format.go:18);
+    blank lines skipped by the caller."""
+    parts = line.strip().split("/")
+    if len(parts) != 3:
+        raise ValueError(f"bad tile name {line!r} (want z/x/y)")
+    z, x, y = (int(p) for p in parts)
+    n = 1 << z
+    if z < 0 or z > MAX_Z or not (0 <= x < n) or not (0 <= y < n):
+        raise ValueError(f"tile out of range: {line!r}")
+    return z, x, y
+
+
+def tiles_from_list(entries, zooms=None, explicit: bool = False):
+    """S11 tile-list source expansion (generateTilesForTileList,
+    cmd/tegola/cmd/cache/tile_list_generator.go): each listed tile is
+    emitted as-is when ``explicit`` (or no zooms given); otherwise it
+    expands across ``zooms`` to its ancestor at each shallower zoom
+    and ALL its descendants at each deeper zoom. Deduplicated, sorted.
+    ``entries`` are (z, x, y) triples or "z/x/y" strings."""
+    out = set()
+    for e in entries:
+        z, x, y = parse_tile_name(e) if isinstance(e, str) else e
+        if explicit or not zooms:
+            out.add((z, x, y))
+            continue
+        for tz in zooms:
+            if tz <= z:
+                d = z - tz
+                out.add((tz, x >> d, y >> d))
+            else:
+                d = tz - z
+                for cx in range(x << d, (x + 1) << d):
+                    for cy in range(y << d, (y + 1) << d):
+                        out.add((tz, cx, cy))
+    return sorted(out)
+
+
 # ---------------------------------------------------------------------------
 # Spark Column expressions (JVM-side, codegen'd; used in the hot path)
 # ---------------------------------------------------------------------------

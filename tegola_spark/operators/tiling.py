@@ -107,3 +107,14 @@ def tile_list(spark, bounds, zooms) -> DataFrame:
     form of the seed fan-out (cmd/tegola/cmd/cache/seed_purge.go:232-266)."""
     rows = grid.tiles_for_bounds(bounds[0], bounds[1], bounds[2], bounds[3], zooms)
     return spark.createDataFrame(rows, "z int, x long, y long")
+
+
+def tile_list_from_file(spark, path: str, zooms=None,
+                        explicit: bool = False) -> DataFrame:
+    """S11 tile-list source: one z/x/y name per line, expanded across
+    ``zooms`` unless ``explicit`` (grid.tiles_from_list — the
+    `tegola cache seed tile-list` input mode)."""
+    with open(path) as f:
+        entries = [ln for ln in (l.strip() for l in f) if ln]
+    rows = grid.tiles_from_list(entries, zooms, explicit=explicit)
+    return spark.createDataFrame(rows, "z int, x long, y long")

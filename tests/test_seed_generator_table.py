@@ -24,6 +24,35 @@ def test_inverted_bounds_eastern_half():
     assert got == [(1, 1, 0), (1, 1, 1)]
 
 
+def test_tile_list_expansion():
+    """TestGenerateTilesForTileList case 0 (tile_list_generator_test.go:
+    79-91): the listed 14/300/781 expands across zooms [13,14,15] to
+    its z13 ancestor + itself + its four z15 children."""
+    got = grid.tiles_from_list(["14/300/781"], [13, 14, 15])
+    assert got == [
+        (13, 150, 390),
+        (14, 300, 781),
+        (15, 600, 1562), (15, 600, 1563),
+        (15, 601, 1562), (15, 601, 1563),
+    ]
+
+
+def test_tile_list_explicit():
+    """Case 1: explicit mode yields the listed tile only."""
+    assert grid.tiles_from_list(["14/300/781"], [13, 14, 15],
+                                explicit=True) == [(14, 300, 781)]
+    # and with no zooms at all, as-is too
+    assert grid.tiles_from_list([(3, 1, 2)]) == [(3, 1, 2)]
+
+
+def test_tile_name_parse_errors():
+    import pytest
+
+    for bad in ["1/2", "z/x/y", "1/2/4", "-1/0/0", "2/4/0"]:
+        with pytest.raises(ValueError):
+            grid.parse_tile_name(bad)
+
+
 def test_alps_bounds_z10_exact_window():
     """The issue-880 regression window (5.9,45.8)-(10.5,47.8) at z10:
     exactly x 528..541 x y 356..365 (140 tiles, matching the table
