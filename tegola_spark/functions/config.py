@@ -81,7 +81,9 @@ class EnvDict(dict):
         return v
 
     def _scalar(self, key, default, caster, want):
-        if key not in self:
+        # a key present with a nil value behaves like a missing key
+        # (internal/env/dict.go returns the default / ErrKeyRequired)
+        if key not in self or self[key] is None:
             if default is not None:
                 return default
             raise KeyError(key)
@@ -98,7 +100,7 @@ class EnvDict(dict):
                               f"{want.__name__}")
 
     def _slice(self, key, caster, want):
-        if key not in self:
+        if key not in self or self[key] is None:
             return []
         v = self._raw(key)
         if isinstance(v, str):

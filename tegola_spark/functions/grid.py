@@ -267,10 +267,36 @@ def parse_tile_name(line: str):
     if len(parts) != 3:
         raise ValueError(f"bad tile name {line!r} (want z/x/y)")
     z, x, y = (int(p) for p in parts)
+    if z < 0 or z > MAX_Z:
+        raise ValueError(f"tile out of range: {line!r}")
     n = 1 << z
-    if z < 0 or z > MAX_Z or not (0 <= x < n) or not (0 <= y < n):
+    if not (0 <= x < n) or not (0 <= y < n):
         raise ValueError(f"tile out of range: {line!r}")
     return z, x, y
+
+
+def tile_spans_from_list(entries, zooms=None, explicit: bool = False):
+    """Span form of :func:`tiles_from_list`: inclusive (z, x0, x1, y0, y1)
+    ranges, one per (entry, zoom) — O(entries x zooms) driver-side work
+    regardless of zoom delta. The reference streams the 4^dz descendant
+    expansion through a channel (tile_list_generator.go); the Spark analog
+    expands these spans distributively with sequence()+explode, so a z0
+    entry expanded to z14 (~268M tiles) never materializes on the driver."""
+    spans = []
+    for e in entries:
+        z, x, y = parse_tile_name(e) if isinstance(e, str) else tuple(e)
+        if explicit or not zooms:
+            spans.append((z, x, x, y, y))
+            continue
+        for tz in zooms:
+            if tz <= z:
+                d = z - tz
+                spans.append((tz, x >> d, x >> d, y >> d, y >> d))
+            else:
+                d = tz - z
+                spans.append((tz, x << d, ((x + 1) << d) - 1,
+                              y << d, ((y + 1) << d) - 1))
+    return spans
 
 
 def tiles_from_list(entries, zooms=None, explicit: bool = False):

@@ -159,9 +159,57 @@ def _entropy_intervals(b: bytes, pos: int):
     return intervals, i
 
 
+def _decode_scan(b: bytes, pos: int, scan, by_id, qt, huff,
+                 restart: int, planes, width: int, height: int,
+                 hmax: int, vmax: int, mcux: int, mcuy: int) -> int:
+    """Entropy-decode one scan (T.81 baseline: interleaved when the scan
+    carries >1 component, else the component's own ceil(cw/8) x ceil(ch/8)
+    data-unit grid) into ``planes``; returns the stream position after the
+    scan's entropy data."""
+    interleaved = len(scan) > 1
+    intervals, pos_after = _entropy_intervals(b, pos)
+    pred = {cid: 0 for cid, _, _ in scan}
+    it = iter(intervals)
+    br = _BitReader(next(it))
+    if interleaved:
+        n_mcu = mcux * mcuy
+    else:
+        cid0 = scan[0][0]
+        _, h0, v0, _ = by_id[cid0]
+        bw0 = -(-(-(-width * h0 // hmax)) // 8)
+        bh0 = -(-(-(-height * v0 // vmax)) // 8)
+        n_mcu = bw0 * bh0
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            br = _BitReader(next(it))
+            pred = {cid: 0 for cid in pred}
+        if interleaved:
+            my, mx = divmod(m, mcux)
+            for cid, td, ta in scan:
+                _, h, v, tq = by_id[cid]
+                for vy in range(v):
+                    for hx in range(h):
+                        blk, pred[cid] = _decode_block(
+                            br, huff[(0, td)], huff[(1, ta)],
+                            pred[cid], qt[tq])
+                        y0 = (my * v + vy) * 8
+                        x0 = (mx * h + hx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
+        else:
+            cid, td, ta = scan[0]
+            my, mx = divmod(m, bw0)
+            blk, pred[cid] = _decode_block(
+                br, huff[(0, td)], huff[(1, ta)], pred[cid],
+                qt[by_id[cid][3]])
+            planes[cid][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = blk
+    return pos_after
+
+
 def decode_jpeg(b: bytes) -> dict:
-    """Full baseline decode; header-only dict (pixels None) for
-    progressive/arithmetic payloads."""
+    """Full baseline decode, including multi-scan (non-interleaved
+    per-component scans — T.81 permits several SOS segments in a baseline
+    stream); header-only dict (pixels None) for progressive/arithmetic
+    payloads or when some SOF component never receives a scan."""
     if b[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
@@ -171,7 +219,10 @@ def decode_jpeg(b: bytes) -> dict:
     restart = 0
     baseline = True
     pos = 2
-    scan = None
+    planes = None
+    by_id = {}
+    hmax = vmax = mcux = mcuy = 0
+    scanned: set[int] = set()
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             pos += 1
@@ -225,71 +276,41 @@ def decode_jpeg(b: bytes) -> dict:
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise JpegError("SOS before SOF")
             ns = body[0]
             scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
                      body[2 + 2 * i] & 0x0F) for i in range(ns)]
-            pos = pos + 2 + ln
-            break
+            epos = pos + 2 + ln
+            if baseline and qt and huff:
+                if planes is None:
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    mcux = -(-width // (8 * hmax))
+                    mcuy = -(-height // (8 * vmax))
+                    by_id = {c[0]: c for c in comps}
+                    # MCU-aligned planes are >= any scan's own grid, so
+                    # they serve interleaved and per-component scans alike
+                    planes = {
+                        cid: np.zeros((mcuy * v * 8, mcux * h * 8),
+                                      dtype=np.float64)
+                        for cid, h, v, _tq in comps}
+                pos = _decode_scan(b, epos, scan, by_id, qt, huff,
+                                   restart, planes, width, height,
+                                   hmax, vmax, mcux, mcuy)
+                scanned.update(cid for cid, _, _ in scan)
+            else:
+                _, pos = _entropy_intervals(b, epos)
+            continue
         pos = nxt
     if width is None or comps is None:
         raise JpegError("JPEG missing SOF")
     info = {"format": "jpeg", "width": int(width), "height": int(height),
             "channels": len(comps), "bitdepth": 8,
             "pixels": None, "samples": None}
-    if not baseline or scan is None or not qt or not huff:
+    if (not baseline or planes is None
+            or scanned != {c[0] for c in comps}):
         return info
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    interleaved = len(scan) > 1
-    by_id = {c[0]: c for c in comps}
-    # per-component block grids
-    planes = {}
-    grids = {}
-    for cid, h, v, _tq in comps:
-        cw = -(-width * h // hmax)    # component width in samples
-        ch_ = -(-height * v // vmax)
-        bw = mcux * h if interleaved else -(-cw // 8)
-        bh = mcuy * v if interleaved else -(-ch_ // 8)
-        grids[cid] = (bw, bh)
-        planes[cid] = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-
-    intervals, _ = _entropy_intervals(b, pos)
-    pred = {cid: 0 for cid, _, _ in scan}
-    it = iter(intervals)
-    br = _BitReader(next(it))
-    n_mcu = (mcux * mcuy) if interleaved \
-        else grids[scan[0][0]][0] * grids[scan[0][0]][1]
-    done = 0
-    for m in range(n_mcu):
-        if restart and m and m % restart == 0:
-            br = _BitReader(next(it))
-            pred = {cid: 0 for cid in pred}
-        if interleaved:
-            my, mx = divmod(m, mcux)
-            for cid, td, ta in scan:
-                _, h, v, tq = by_id[cid]
-                for vy in range(v):
-                    for hx in range(h):
-                        blk, pred[cid] = _decode_block(
-                            br, huff[(0, td)], huff[(1, ta)],
-                            pred[cid], qt[tq])
-                        y0 = (my * v + vy) * 8
-                        x0 = (mx * h + hx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
-        else:
-            cid, td, ta = scan[0]
-            bw, _bh = grids[cid]
-            my, mx = divmod(m, bw)
-            blk, pred[cid] = _decode_block(
-                br, huff[(0, td)], huff[(1, ta)], pred[cid],
-                qt[by_id[cid][3]])
-            planes[cid][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = blk
-        done += 1
-    if done != n_mcu:  # pragma: no cover
-        raise JpegError("scan ended early")
 
     # upsample to full resolution + crop
     full = []
@@ -396,11 +417,18 @@ def _encode_block(bw: _BitWriter, block: np.ndarray, qtab: np.ndarray,
 
 
 def encode_jpeg(pixels: np.ndarray, quant: int = 1,
-                subsample: bool = False, restart: int = 0) -> bytes:
+                subsample: bool = False, restart: int = 0,
+                multiscan: bool = False) -> bytes:
     """Baseline JPEG writer: grayscale or RGB, 4:4:4 (default) or 4:2:0
     (``subsample=True``), flat quant tables of ``quant`` (1 = as near
     lossless as the DCT rounding allows), optional DRI restart interval
-    of ``restart`` MCUs (exercises the decoder's RST path)."""
+    of ``restart`` MCUs (exercises the decoder's RST path).
+
+    ``multiscan=True`` writes one non-interleaved SOS per component (a
+    legal baseline layout per T.81 — exercises the decoder's multi-scan
+    path); incompatible with ``restart``."""
+    if multiscan and restart:
+        raise JpegError("multiscan fixtures do not support restart")
     px = np.asarray(pixels, dtype=np.float64)
     if px.ndim == 2:
         px = px[:, :, None]
@@ -438,30 +466,50 @@ def encode_jpeg(pixels: np.ndarray, quant: int = 1,
                     mode="edge")
         padded.append(ch)
 
-    entropy = bytearray()
-    bw = _BitWriter()
-    pred = [0] * len(chans)
-    rst = 0
-    for m in range(mcux * mcuy):
-        if restart and m and m % restart == 0:
-            bw.flush()
-            entropy += bw.out
-            entropy += bytes([0xFF, 0xD0 + (rst % 8)])
-            rst += 1
-            bw = _BitWriter()
-            pred = [0] * len(chans)
-        my, mx = divmod(m, mcux)
+    if multiscan:
+        # one entropy segment per component, each over its own
+        # ceil(cw/8) x ceil(ch/8) grid (T.81 non-interleaved scan)
+        scans = []
         for i, ch in enumerate(padded):
             sh, sv = samp[i]
-            for vy in range(sv):
-                for hx in range(sh):
-                    y0 = (my * sv + vy) * 8
-                    x0 = (mx * sh + hx) * 8
-                    pred[i] = _encode_block(
-                        bw, ch[y0:y0 + 8, x0:x0 + 8], qtab, pred[i],
-                        dcm, acm)
-    bw.flush()
-    entropy += bw.out
+            cw = -(-w * sh // hmax)
+            ch_h = -(-h * sv // vmax)
+            bwn, bhn = -(-cw // 8), -(-ch_h // 8)
+            bw = _BitWriter()
+            pred_i = 0
+            for m in range(bwn * bhn):
+                my, mx = divmod(m, bwn)
+                pred_i = _encode_block(
+                    bw, ch[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8],
+                    qtab, pred_i, dcm, acm)
+            bw.flush()
+            scans.append(bytes(bw.out))
+        entropy = None
+    else:
+        entropy = bytearray()
+        bw = _BitWriter()
+        pred = [0] * len(chans)
+        rst = 0
+        for m in range(mcux * mcuy):
+            if restart and m and m % restart == 0:
+                bw.flush()
+                entropy += bw.out
+                entropy += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                bw = _BitWriter()
+                pred = [0] * len(chans)
+            my, mx = divmod(m, mcux)
+            for i, ch in enumerate(padded):
+                sh, sv = samp[i]
+                for vy in range(sv):
+                    for hx in range(sh):
+                        y0 = (my * sv + vy) * 8
+                        x0 = (mx * sh + hx) * 8
+                        pred[i] = _encode_block(
+                            bw, ch[y0:y0 + 8, x0:x0 + 8], qtab, pred[i],
+                            dcm, acm)
+        bw.flush()
+        entropy += bw.out
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -478,11 +526,17 @@ def encode_jpeg(pixels: np.ndarray, quant: int = 1,
     out += seg(0xC4, bytes([0x10]) + bytes(acb) + bytes(acv))
     if restart:
         out += seg(0xDD, struct.pack(">H", restart))
-    sos = bytes([len(chans)])
-    for i in range(len(chans)):
-        sos += bytes([i + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += entropy
+    if multiscan:
+        for i in range(len(chans)):
+            sos = bytes([1, i + 1, 0x00, 0, 63, 0])
+            out += seg(0xDA, sos)
+            out += scans[i]
+    else:
+        sos = bytes([len(chans)])
+        for i in range(len(chans)):
+            sos += bytes([i + 1, 0x00])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        out += entropy
     out += b"\xff\xd9"
     return bytes(out)

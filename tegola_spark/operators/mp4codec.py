@@ -301,8 +301,9 @@ def encode_mp4(frames: list[bytes], width: int, height: int,
     tkhd = _full(b"tkhd", 0, struct.pack(">IIIII", 0, 0, 1, 0, duration)
                  + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
                  + struct.pack(">II", width << 16, height << 16))
-    # tkhd needs flags=enabled(1)|in_movie(2): patch flag bytes
-    tkhd = tkhd[:9] + b"\x00\x03" + tkhd[11:]
+    # tkhd needs flags=enabled(1)|in_movie(2): the fullbox is
+    # size(4)+type(4)+version(1)+flags(3), so flags are bytes 9-11
+    tkhd = tkhd[:10] + b"\x00\x03" + tkhd[12:]
     trak = _box(b"trak", tkhd + mdia)
     mvhd = _full(b"mvhd", 0, struct.pack(">IIII", 0, 0, timescale, duration)
                  + struct.pack(">IHH", 0x00010000, 0x0100, 0)

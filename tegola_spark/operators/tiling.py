@@ -112,9 +112,23 @@ def tile_list(spark, bounds, zooms) -> DataFrame:
 def tile_list_from_file(spark, path: str, zooms=None,
                         explicit: bool = False) -> DataFrame:
     """S11 tile-list source: one z/x/y name per line, expanded across
-    ``zooms`` unless ``explicit`` (grid.tiles_from_list — the
-    `tegola cache seed tile-list` input mode)."""
+    ``zooms`` unless ``explicit`` (the `tegola cache seed tile-list`
+    input mode, cmd/tegola/cmd/cache/tile_list_generator.go).
+
+    Only O(lines x zooms) SPANS touch the driver; the 4^dz descendant
+    expansion runs distributively (sequence+explode with a rebalance
+    between the x and y axes so one deep entry fans across the cluster),
+    and distinct() reproduces the reference's dedup set."""
     with open(path) as f:
         entries = [ln for ln in (l.strip() for l in f) if ln]
-    rows = grid.tiles_from_list(entries, zooms, explicit=explicit)
-    return spark.createDataFrame(rows, "z int, x long, y long")
+    spans = grid.tile_spans_from_list(entries, zooms, explicit=explicit)
+    sdf = spark.createDataFrame(
+        spans, "z int, x0 long, x1 long, y0 long, y1 long")
+    par = spark.sparkContext.defaultParallelism
+    return (
+        sdf.select("z", F.explode(F.sequence("x0", "x1")).alias("x"),
+                   "y0", "y1")
+        .repartition(par)  # spread each span's columns before the y fan
+        .select("z", "x", F.explode(F.sequence("y0", "y1")).alias("y"))
+        .distinct()
+    )

@@ -123,3 +123,15 @@ def test_scalar_missing_key_default():
     assert ed.string("nope", "dflt") == "dflt"
     with pytest.raises(KeyError):
         ed.int("nope")
+
+
+def test_nil_value_behaves_like_missing_key():
+    """internal/env Dict treats a key present with nil like a missing
+    key: default returned when given, ErrKeyRequired otherwise, empty
+    slice for slice accessors (round-3 ADVICE finding)."""
+    ed = C.EnvDict({"k": None, "s": None})
+    assert ed.string("k", "dflt") == "dflt"
+    assert ed.int("k", 7) == 7
+    with pytest.raises(KeyError):
+        ed.string("k")
+    assert ed.string_slice("s") == []

@@ -242,3 +242,46 @@ def test_decode_media_survives_malformed_payloads(spark):
     # every malformed row falls back to stub features instead of failing
     assert len(out) == len(_MALFORMED)
     assert all(len(r["feature"]) == 8 for r in out)
+
+
+def test_jpeg_multiscan_444_matches_interleaved():
+    """T.81 baseline permits one non-interleaved SOS per component; the
+    decoder must entropy-decode every scan (round-3 ADVICE: only the
+    first SOS was decoded, leaving chroma planes zero)."""
+    from tegola_spark.operators import jpegcodec as jc
+
+    px = _gradient_rgb(21, 30)
+    inter = jc.decode_jpeg(jc.encode_jpeg(px, quant=1))
+    multi_bytes = jc.encode_jpeg(px, quant=1, multiscan=True)
+    assert multi_bytes.count(b"\xff\xda") >= 3
+    multi = jc.decode_jpeg(multi_bytes)
+    # same quantized coefficients, same predictor chains -> identical
+    np.testing.assert_array_equal(multi["pixels"], inter["pixels"])
+    assert np.abs(multi["pixels"].astype(int) - px.astype(int)).max() <= 2
+
+
+def test_jpeg_multiscan_420_decodes_all_planes():
+    from tegola_spark.operators import jpegcodec as jc
+
+    px = _gradient_rgb(24, 24)
+    b = jc.encode_jpeg(px, quant=1, subsample=True, multiscan=True)
+    info = jc.decode_jpeg(b)
+    assert info["pixels"] is not None
+    err = np.abs(info["pixels"].astype(int) - px.astype(int))
+    assert err.mean() < 8
+    # chroma actually decoded: the image is not grayscale-ish
+    assert np.ptp(info["pixels"][..., 0].astype(int)
+                  - info["pixels"][..., 1].astype(int)) > 32
+
+
+def test_jpeg_multiscan_missing_component_header_only():
+    """If some SOF component never receives a scan, pixel decode must
+    fall back to header-only instead of returning wrong pixels."""
+    from tegola_spark.operators import jpegcodec as jc
+
+    b = jc.encode_jpeg(_gradient_rgb(), quant=1, multiscan=True)
+    last_sos = b.rfind(b"\xff\xda")
+    truncated = b[:last_sos] + b"\xff\xd9"
+    info = jc.decode_jpeg(truncated)
+    assert (info["width"], info["height"]) == (20, 13)
+    assert info["pixels"] is None

@@ -104,3 +104,16 @@ def test_largesize_and_size0_boxes():
     (old_off,) = struct.unpack_from(">I", b2, sidx + 12)
     b2 = b2[:sidx + 12] + struct.pack(">I", old_off + 8) + b2[sidx + 16:]
     assert M.frame_samples(b2) == frames
+
+
+def test_tkhd_flags_track_enabled_in_movie():
+    """ISO-BMFF fullbox flags occupy bytes 9-11 of the box; the fixture
+    must carry flags=0x000003 (track_enabled|track_in_movie), not
+    0x000300 (round-3 ADVICE finding)."""
+    b = M.encode_mp4(_frames(n=2, seed=7), width=16, height=16)
+    i = b.find(b"tkhd")
+    assert i >= 0
+    version = b[i + 4]
+    flags = int.from_bytes(b[i + 5:i + 8], "big")
+    assert version == 0
+    assert flags == 0x000003

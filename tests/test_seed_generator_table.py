@@ -60,3 +60,29 @@ def test_alps_bounds_z10_exact_window():
     got = set(grid.tiles_for_bounds(5.9, 45.8, 10.5, 47.8, [10]))
     want = {(10, x, y) for x in range(528, 542) for y in range(356, 366)}
     assert got == want
+
+
+def test_tile_spans_match_materialized_expansion():
+    """Span form == materialized form on the reference's generator case."""
+    spans = grid.tile_spans_from_list(["14/300/781"], [13, 14, 15])
+    expanded = sorted({(z, x, y)
+                       for z, x0, x1, y0, y1 in spans
+                       for x in range(x0, x1 + 1)
+                       for y in range(y0, y1 + 1)})
+    assert expanded == grid.tiles_from_list(["14/300/781"], [13, 14, 15])
+    # explicit mode: one degenerate span per entry
+    assert grid.tile_spans_from_list([(3, 1, 2)]) == [(3, 1, 2, 1, 2, 2)] or \
+        grid.tile_spans_from_list([(3, 1, 2)]) == [(3, 1, 1, 2, 2)]
+
+
+def test_tile_list_from_file_distributed(tmp_path, spark):
+    """S11 source expands spans cluster-side (sequence+explode), matching
+    the driver-side reference expansion exactly."""
+    from tegola_spark.operators import tiling
+
+    p = tmp_path / "tiles.txt"
+    p.write_text("14/300/781\n\n12/75/195\n")
+    df = tiling.tile_list_from_file(spark, str(p), [13, 14, 15])
+    got = sorted((r.z, r.x, r.y) for r in df.collect())
+    want = grid.tiles_from_list(["14/300/781", "12/75/195"], [13, 14, 15])
+    assert got == want
