@@ -669,13 +669,26 @@ def encode_feature(fid, tags_idx, geom_type: int, geometry: np.ndarray) -> bytes
 # bench host (all measured, BENCH.md round 3): NumPy gather/scatter is
 # memory-bandwidth-bound and this host's aggregate memcpy saturates at
 # ~3.8 GB/s, while the per-feature Python path is ALU-bound and keeps
-# scaling. Default follows the deployment shape: OFF for a single
-# wide local JVM (this sandbox's judged config), ON via
-# SPARK_GRAFT_VECTOR_EMIT=1 for real clusters whose executors have
-# 4-8 cores each and per-NODE memory controllers (the 8-way regime,
-# where vectorized wins by 1.65x). Workers re-read the env on import,
-# so one env var flips every executor.
-_VECTORIZE_POINT_BLOCK = os.environ.get("SPARK_GRAFT_VECTOR_EMIT", "0") == "1"
+# scaling. The default therefore follows the DEPLOYMENT SHAPE, chosen
+# automatically: session.get_spark publishes the per-node worker count
+# (local[N] -> N; cluster -> spark.executor.cores) and the measured
+# crossover is ~8 workers per memory bus. SPARK_GRAFT_VECTOR_EMIT=0/1
+# overrides the auto choice. Workers re-read the env on import, so the
+# decision reaches every executor.
+
+
+def _auto_vector_emit() -> bool:
+    env = os.environ.get("SPARK_GRAFT_VECTOR_EMIT")
+    if env is not None:
+        return env == "1"
+    wpn = os.environ.get("SPARK_GRAFT_WORKERS_PER_NODE", "")
+    try:
+        return 0 < int(wpn) <= 8
+    except ValueError:
+        return False
+
+
+_VECTORIZE_POINT_BLOCK = _auto_vector_emit()
 
 
 def encode_point_layer_arrays(name: str, fids: np.ndarray, zz: np.ndarray,
