@@ -44,24 +44,26 @@ from ..operators import geometry as geo
 from ..operators import mvt, tiling
 from ..sources import corpus, layers
 
-# tags travel as typed `tag_<key>` STRING columns, not MapType: Arrow's
-# map conversion builds per-row python tuple lists and cost ~30s of a
-# 40s identity pass over 9.5M rows (measured); string columns are near
+# tags travel as typed `tag_<key>` columns, not MapType: Arrow's map
+# conversion builds per-row python tuple lists and cost ~30s of a 40s
+# identity pass over 9.5M rows (measured); flat columns are near
 # zero-copy. Column order defines MVT tag-key first-appearance order.
-TAG_COLS = ["tag_type", "tag_url", "tag_lang", "tag_name", "tag_zxy"]
-# struct-of-arrays geometry transport: POINT features (the corpus — the
-# overwhelming majority of rows at 100 TB) cross the encode shuffle as
-# two plain DOUBLE columns (lon, lat) with geom NULL; only non-point
-# features (polygon layers, debug geometry — the small side) carry WKB.
-# vs the round-2 design this removes (a) the pt_wkb encode UDF — a full
-# Python/Arrow round-trip over the corpus BEFORE the fan-out, (b) the
-# per-group b"".join + frombuffer WKB re-decode AFTER the shuffle, and
-# (c) ~9 bytes/row of shuffle width (16B of doubles vs 21B WKB + Arrow
-# offsets). Coordinates land in the encode kernel as zero-copy Arrow->
-# NumPy float64 views. Bit-exact vs the WKB path: IEEE doubles
-# round-trip struct-pack exactly, so skipping the codec changes nothing.
-FEATURE_COLS = ["z", "x", "y", "layer", "feature_id", "geom", "srid",
-                "lon", "lat"] + TAG_COLS
+# Non-string tag types (E6 value variants, mvt/layer.go:133-192) ride a
+# type suffix in the column name: `tag_<key>__i` (int -> int_value),
+# `__f` (float -> double_value), `__b` (bool -> bool_value); bare
+# `tag_<key>` stays string_value.
+#
+# Geometry transport is struct-of-arrays per STREAM: the pipeline
+# shuffles each feature family separately with ONLY its own columns
+# (round-4; the round-3 design unioned every family onto one wide
+# schema, so the corpus paid 8 fixed UnsafeRow bytes per absent field —
+# layer/geom/srid + three all-NULL tag columns — on every row of the
+# dominant shuffle). POINT features (the corpus) cross as two plain
+# DOUBLE columns (lon, lat) with no geom column at all; polygon/debug
+# features carry WKB. Coordinates land in the encode kernel as
+# zero-copy Arrow->NumPy float64 views, bit-exact vs the WKB path.
+POINT_STREAM_COLS = ["z", "x", "y", "feature_id", "lon", "lat",
+                     "tag_url", "tag_lang"]
 ENCODE_SCHEMA = (
     "z int, x long, y long, layer string, layer_bytes binary, "
     "n_features long, n_dropped long, bytes long, encode_ms double"
@@ -97,7 +99,8 @@ def encode_layer_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def encode_bucket(pdf: pd.DataFrame, simplify: bool = False,
-                  repair: bool = True) -> pd.DataFrame:
+                  repair: bool = True,
+                  const_layer: str | None = None) -> pd.DataFrame:
     """Bucketed grouped-map kernel: MANY (z, x, y, layer) groups per UDF
     invocation. groupBy on the raw tile-layer key pays one Python/Arrow
     round-trip per group — at z>=5 groups hold a handful of features
@@ -107,15 +110,46 @@ def encode_bucket(pdf: pd.DataFrame, simplify: bool = False,
     Output rows accumulate as dicts — building a 1-row pd.DataFrame per
     group cost ~1 ms each (29k groups = 29 s, measured). The bucket is
     sorted ONCE by (group key, feature_id) so each group arrives
-    pre-sorted and _encode_one skips its per-group mergesort."""
-    pdf = pdf.sort_values(["z", "x", "y", "layer", "feature_id"],
-                          kind="mergesort")
-    rows = [
-        _encode_one(g, time.perf_counter(), int(k[0]), int(k[1]), int(k[2]), k[3],
-                    simplify=simplify, repair=repair, presorted=True)
-        for k, g in pdf.groupby(["z", "x", "y", "layer"], sort=False)
-    ]
+    pre-sorted and _encode_one skips its per-group mergesort.
+
+    ``const_layer``: single-layer streams (the corpus point stream)
+    omit the layer column from the shuffle entirely; the constant name
+    is re-attached here."""
+    if const_layer is None:
+        pdf = pdf.sort_values(["z", "x", "y", "layer", "feature_id"],
+                              kind="mergesort")
+        rows = [
+            _encode_one(g, time.perf_counter(),
+                        int(k[0]), int(k[1]), int(k[2]), k[3],
+                        simplify=simplify, repair=repair, presorted=True)
+            for k, g in pdf.groupby(["z", "x", "y", "layer"], sort=False)
+        ]
+    else:
+        pdf = pdf.sort_values(["z", "x", "y", "feature_id"],
+                              kind="mergesort")
+        rows = [
+            _encode_one(g, time.perf_counter(),
+                        int(k[0]), int(k[1]), int(k[2]), const_layer,
+                        simplify=simplify, repair=repair, presorted=True)
+            for k, g in pdf.groupby(["z", "x", "y"], sort=False)
+        ]
     return pd.DataFrame(rows, columns=_METRIC_COLS)
+
+
+# `tag_<key>__<t>` column-name type markers -> python casts whose types
+# hit the matching E6 value variant (vectorTileValue, mvt/layer.go:133-192:
+# int64 -> int_value, float64 -> double_value, bool -> bool_value).
+# The cast also undoes Arrow->pandas null widening (an int column with
+# nulls arrives as float64; int() restores the declared type).
+_TAG_CASTS = {"i": int, "f": float, "b": bool}
+
+
+def _tag_key_cast(col: str):
+    """Column name -> (mvt key, cast-or-None)."""
+    key = col[4:]
+    if len(key) > 3 and key[-3:-1] == "__" and key[-1] in _TAG_CASTS:
+        return key[:-3], _TAG_CASTS[key[-1]]
+    return key, None
 
 
 def _tag_dicts(pdf: pd.DataFrame) -> list:
@@ -124,9 +158,9 @@ def _tag_dicts(pdf: pd.DataFrame) -> list:
     derived from pdf.columns (not module state — the driver may append
     default-tag columns and workers import the module fresh).
     Column-major fill over vectorized notna masks: all-null columns
-    (most of TAG_COLS for any given layer) cost one mask check instead
-    of n per-row tests, and per-dict insertion order stays column order
-    (profiled: 3x faster on 200k-row buckets)."""
+    cost one mask check instead of n per-row tests, and per-dict
+    insertion order stays column order (profiled: 3x faster on
+    200k-row buckets)."""
     n = len(pdf)
     out = [{} for _ in range(n)]
     for c in pdf.columns:
@@ -136,8 +170,12 @@ def _tag_dicts(pdf: pd.DataFrame) -> list:
         mask = pd.notna(arr)
         if not mask.any():
             continue
-        key = c[4:]
-        for i, v in zip(np.nonzero(mask)[0].tolist(), arr[mask].tolist()):
+        key, cast = _tag_key_cast(c)
+        idx = np.nonzero(mask)[0].tolist()
+        vals = arr[mask].tolist()
+        if cast is not None:
+            vals = [cast(v) for v in vals]
+        for i, v in zip(idx, vals):
             out[i][key] = v
     return out
 
@@ -277,8 +315,11 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
                 ext, clip_region, (wpts["srid"] != 3857).to_numpy()))
         rest = pdf[~(soa | wkbpt)]
     rest_tags = _tag_dicts(rest) if len(rest) else []
-    for fid, gwkb, tags, srid in zip(rest["feature_id"], rest["geom"],
-                                     rest_tags, rest["srid"]):
+    # geom-less streams (the SoA point stream) have no geom column at
+    # all; their remainder is always empty, so skip the column lookup
+    rest_iter = () if not len(rest) else zip(
+        rest["feature_id"], rest["geom"], rest_tags, rest["srid"])
+    for fid, gwkb, tags, srid in rest_iter:
         decoded = wkb.decode(bytes(gwkb))
         # GeometryCollection: empty -> feature skipped (atlas/map.go:232-236);
         # non-empty -> one feature per member geometry, tags shared
@@ -323,24 +364,21 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
 
 
 def point_features(spark: SparkSession, sf_dir: str, docs=None) -> DataFrame:
-    """pages -> geocoded point features (layer 'pages').
+    """pages -> geocoded point features (the single-layer 'pages'
+    stream — the layer name never ships; encode_bucket re-attaches it).
 
-    SoA transport: points travel as (lon, lat) double columns with geom
-    NULL — no WKB codec UDF touches the corpus (the geocode UDF is the
-    only Python stage before the encode shuffle)."""
+    SoA transport: points travel as (lon, lat) double columns with no
+    geom/srid/layer columns at all — no WKB codec UDF touches the
+    corpus (the geocode UDF is the only Python stage before the encode
+    shuffle), and the dominant shuffle carries only this stream's own
+    live columns."""
     pts = corpus.geocoded_pages(corpus.pages(spark, sf_dir, docs=docs))
 
     return pts.select(
         F.col("doc_id").alias("feature_id"),
-        F.lit("pages").alias("layer"),
         "lon", "lat",
-        F.lit(None).cast("binary").alias("geom"),
-        F.lit(4326).alias("srid"),
-        F.lit(None).cast("string").alias("tag_type"),
         F.col("url").alias("tag_url"),
         F.col("lang").alias("tag_lang"),
-        F.lit(None).cast("string").alias("tag_name"),
-        F.lit(None).cast("string").alias("tag_zxy"),
     )
 
 
@@ -350,14 +388,7 @@ def polygon_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = nat.unionByName(reg)
     return both.select(
         "feature_id", "layer", "minx", "miny", "maxx", "maxy", "geom",
-        F.lit(4326).alias("srid"),
-        F.lit(None).cast("double").alias("lon"),
-        F.lit(None).cast("double").alias("lat"),
-        F.lit(None).cast("string").alias("tag_type"),
-        F.lit(None).cast("string").alias("tag_url"),
-        F.lit(None).cast("string").alias("tag_lang"),
         F.col("name").alias("tag_name"),
-        F.lit(None).cast("string").alias("tag_zxy"),
     )
 
 
@@ -393,26 +424,34 @@ def debug_features(spark: SparkSession, zooms) -> DataFrame:
     tag = F.concat(F.lit("Z:"), F.col("z").cast("string"), F.lit(", X:"),
                    F.col("x").cast("string"), F.lit(", Y:"), F.col("y").cast("string"))
     none = F.lit(None).cast("string")
-    noned = F.lit(None).cast("double")
     out_poly = tiles.select(
         "z", "x", "y", F.lit("debug-tile-outline").alias("layer"),
         F.lit(0).cast("long").alias("feature_id"),
         outline("z", "x", "y").alias("geom"),
         F.lit(3857).alias("srid"),
-        noned.alias("lon"), noned.alias("lat"),
         F.lit("debug_buffer_outline").alias("tag_type"),
-        none.alias("tag_url"), none.alias("tag_lang"),
-        none.alias("tag_name"), none.alias("tag_zxy"))
+        none.alias("tag_zxy"))
     out_ctr = tiles.select(
         "z", "x", "y", F.lit("debug-tile-center").alias("layer"),
         F.lit(0).cast("long").alias("feature_id"),
         center("z", "x", "y").alias("geom"),
         F.lit(3857).alias("srid"),
-        noned.alias("lon"), noned.alias("lat"),
         F.lit("debug_text").alias("tag_type"),
-        none.alias("tag_url"), none.alias("tag_lang"),
-        none.alias("tag_name"), tag.alias("tag_zxy"))
+        tag.alias("tag_zxy"))
     return out_poly.unionByName(out_ctr)
+
+
+def _default_tag_col(k, v) -> str:
+    """Column name for a default-tag value, typed by python type so the
+    value hits the matching E6 variant (bool before int — bool is an
+    int subclass)."""
+    if isinstance(v, bool):
+        return f"tag_{k}__b"
+    if isinstance(v, int):
+        return f"tag_{k}__i"
+    if isinstance(v, float):
+        return f"tag_{k}__f"
+    return f"tag_{k}"
 
 
 def merge_default_tags(feats: DataFrame, default_tags: dict) -> DataFrame:
@@ -420,16 +459,24 @@ def merge_default_tags(feats: DataFrame, default_tags: dict) -> DataFrame:
     — atlas/map.go:256-261. With typed tag columns this is coalesce;
     unknown default keys become new tag_ columns appended LAST, so
     dictionary order keeps feature tags first, matching the golden
-    keys [type, foo] — atlas/map_test.go:382-390."""
+    keys [type, foo] — atlas/map_test.go:382-390. (The reference's
+    per-feature Go map carries no deterministic key order at all, so
+    appended-last is a valid, stable refinement.) A default whose KEY
+    matches an existing column of a different declared type coalesces
+    into that column (Spark's implicit cast), mirroring the schemaless
+    reference where the feature's type wins per row."""
     if not default_tags:
         return feats
     out = feats
     for k, v in default_tags.items():
-        col = f"tag_{k}"
-        if col in out.columns:
-            out = out.withColumn(col, F.coalesce(F.col(col), F.lit(v)))
+        # any existing column carrying this mvt key, typed or not
+        existing = [c for c in out.columns
+                    if c.startswith("tag_") and _tag_key_cast(c)[0] == k]
+        if existing:
+            c = existing[0]
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
         else:
-            out = out.withColumn(col, F.lit(v))
+            out = out.withColumn(_default_tag_col(k, v), F.lit(v))
     return out
 
 
@@ -490,14 +537,21 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
     cap window and the encode shuffle, so encode work is proportional
     to the filtered tile set). Used by streaming incremental
     maintenance (streaming/live.py) to rebuild only affected tiles.
+
+    Execution is per-STREAM (round-4): each feature family (corpus
+    points / polygon layers / debug) shuffles separately with only its
+    own live columns, so the dominant corpus shuffle no longer pays the
+    union schema's fixed per-field bytes for columns other families
+    own. Stream outputs are disjoint (z,x,y,layer) metric rows; the
+    union happens on the tiny metric side, and per-group encode bytes
+    are unchanged.
     """
     pzooms = list(zooms) if point_zooms is None else list(point_zooms)
+    streams: list[tuple[DataFrame, str | None]] = []  # (feats, const_layer)
     if pzooms:
         pts = tiling.assign_point_tiles(
             point_features(spark, sf_dir, docs=docs), pzooms)
-        feats = pts.select(*FEATURE_COLS)
-    else:
-        feats = None
+        streams.append((pts.select(*POINT_STREAM_COLS), "pages"))
     if with_polygons:
         # zoom pruning from the layer catalog (P4) — regions capped at z<=6
         cat = {r["layer"]: (r["min_zoom"], r["max_zoom"])
@@ -507,24 +561,21 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
         for name, (lo, hi) in cat.items():
             c = (F.col("layer") == name) & (F.col("z") >= lo) & (F.col("z") <= hi)
             cond = c if cond is None else (cond | c)
-        polys = polys.where(cond).select(*FEATURE_COLS)
-        feats = polys if feats is None else feats.unionByName(polys)
+        streams.append((polys.where(cond).select(
+            "z", "x", "y", "layer", "feature_id", "geom", "tag_name"), None))
 
     if with_debug:
-        dbg = debug_features(spark, zooms)
-        feats = dbg if feats is None else feats.unionByName(dbg)
-    if feats is None:
+        streams.append((debug_features(spark, zooms), None))
+    if not streams:
         raise ValueError("build_tiles: nothing to build "
                          "(no point zooms, polygons or debug layers)")
 
-    if default_tags:
-        feats = merge_default_tags(feats, default_tags)
-
     if tile_filter is not None:
-        keys = tile_filter.select(
+        filter_keys = tile_filter.select(
             F.col("z").cast("int"), F.col("x").cast("long"),
             F.col("y").cast("long")).distinct()
-        feats = feats.join(F.broadcast(keys), ["z", "x", "y"], "left_semi")
+    else:
+        filter_keys = None
 
     if max_features_per_tile == "auto":
         cap = F.when(F.col("z") <= 4, F.lit(CAP_LOW_ZOOM)) \
@@ -533,32 +584,49 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
         cap = F.lit(int(max_features_per_tile))
     else:
         cap = None
-    if cap is not None:
-        # rank + group count share one window spec (single sort);
-        # cap-dropped rows never reach the encode shuffle, but their
-        # count rides along on the kept rows for n_dropped lineage
-        w = Window.partitionBy("z", "x", "y", "layer").orderBy("feature_id")
-        wc = Window.partitionBy("z", "x", "y", "layer")
-        feats = (
-            feats.withColumn("_rk", F.row_number().over(w))
-            .withColumn("_cap_dropped",
-                        F.greatest(F.lit(0), F.count("*").over(wc) - cap))
-            .where(F.col("_rk") <= cap).drop("_rk")
-        )
 
     # 4x shuffle partitions: finer buckets = better straggler balance in
     # the python-heavy encode stage (per-invocation overhead is small
     # since rows accumulate as dicts)
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
-    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        return encode_bucket(pdf, simplify=simplify, repair=repair_polygons)
 
-    metrics = (
-        feats.withColumn(
-            "_bucket", F.pmod(F.hash("z", "x", "y", "layer"), F.lit(n_buckets)))
-        .groupBy("_bucket")
-        .applyInPandas(_encode, ENCODE_SCHEMA)
-    )
+    metrics = None
+    for feats, const_layer in streams:
+        group_keys = ["z", "x", "y"] + ([] if const_layer else ["layer"])
+        if default_tags:
+            feats = merge_default_tags(feats, default_tags)
+        if filter_keys is not None:
+            feats = feats.join(F.broadcast(filter_keys),
+                               ["z", "x", "y"], "left_semi")
+        if cap is not None:
+            # rank + group count share one window spec (single sort);
+            # cap-dropped rows never reach the encode shuffle, but their
+            # count rides along on the kept rows for n_dropped lineage
+            w = Window.partitionBy(*group_keys).orderBy("feature_id")
+            wc = Window.partitionBy(*group_keys)
+            feats = (
+                feats.withColumn("_rk", F.row_number().over(w))
+                .withColumn("_cap_dropped",
+                            F.greatest(F.lit(0), F.count("*").over(wc) - cap))
+                .where(F.col("_rk") <= cap).drop("_rk")
+            )
+
+        def _make_encode(cl):
+            # single-arg closure: applyInPandas passes the group key to
+            # two-arg functions, so the constant must bind via a factory
+            def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+                return encode_bucket(pdf, simplify=simplify,
+                                     repair=repair_polygons, const_layer=cl)
+            return _encode
+
+        _encode = _make_encode(const_layer)
+        m = (
+            feats.withColumn(
+                "_bucket", F.pmod(F.hash(*group_keys), F.lit(n_buckets)))
+            .groupBy("_bucket")
+            .applyInPandas(_encode, ENCODE_SCHEMA)
+        )
+        metrics = m if metrics is None else metrics.unionByName(m)
     return metrics, assemble_tiles(metrics)
 
 
@@ -618,8 +686,9 @@ def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
             exploded = g.take(idx)
             exploded["_tx"] = txs
             exploded["_ty"] = tys
-            for (tx, ty, layer), lg in exploded.groupby(
-                    ["_tx", "_ty", "layer"], sort=True):
+            # the anchored stream is the single-layer corpus ('pages'),
+            # so no layer column ships; the name is a kernel constant
+            for (tx, ty), lg in exploded.groupby(["_tx", "_ty"], sort=True):
                 if cap is not None and len(lg) > cap:
                     # deterministic per-(tile, layer) budget, matching
                     # the standard path's window cap: lowest feature_ids
@@ -630,7 +699,7 @@ def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
                         _cap_dropped=n_over)
                 rows.append(_encode_one(
                     lg, time.perf_counter(), z, int(tx), int(ty),
-                    layer, simplify=simplify, repair=repair))
+                    "pages", simplify=simplify, repair=repair))
     return pd.DataFrame(rows, columns=_METRIC_COLS)
 
 
@@ -674,10 +743,12 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
             simplify=simplify, repair_polygons=repair_polygons,
             max_features_per_tile=max_features_per_tile, point_zooms=zooms_lo)
 
-    # hierarchical path: ONE anchor shuffle for all deep point zooms
-    # (lon/lat ride in FEATURE_COLS since the SoA transport change)
+    # hierarchical path: ONE anchor shuffle for all deep point zooms,
+    # carrying only the point stream's live columns (z is the constant
+    # anchor level, so it does not ship either)
     pts = point_features(spark, sf_dir, docs=docs)
-    anchored = tiling.assign_point_tiles(pts, [anchor_z]).select(*FEATURE_COLS)
+    anchored = tiling.assign_point_tiles(pts, [anchor_z]).select(
+        "x", "y", "feature_id", "lon", "lat", "tag_url", "tag_lang")
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
 
     # same per-(tile, layer) budget policy as the standard path, applied
