@@ -630,9 +630,18 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
     return metrics, assemble_tiles(metrics)
 
 
+# fused anchor-kernel output: metric rows (layer set) + assembled tile
+# rows (layer NULL) in one schema, split by filter afterwards
+_FUSED_COLS = _METRIC_COLS + ["tile_bytes", "n_layers", "tile_len"]
+FUSED_SCHEMA = ENCODE_SCHEMA + (
+    ", tile_bytes binary, n_layers long, tile_len long")
+
+
 def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
                           simplify: bool, repair: bool,
-                          caps: dict | None = None) -> pd.DataFrame:
+                          caps: dict | None = None,
+                          polys: pd.DataFrame | None = None,
+                          layer_zoom: dict | None = None) -> pd.DataFrame:
     """Grouped-map kernel over anchor-tile buckets: derive every
     descendant (z, x, y) membership for z in ``zooms_hi`` locally (pure
     NumPy — the same spherical world-coord + 3x3 buffered-duplication
@@ -641,10 +650,42 @@ def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
     by exactly one anchor; the anchor-level buffered duplication
     guarantees the full buffered feature set is present, because buffer
     distance in meters shrinks with zoom), then encode each
-    (z, x, y, layer) with the standard kernel."""
+    (z, x, y, layer) with the standard kernel.
+
+    Round-4 fusion: the catalog-sized polygon layers arrive via the
+    ``polys`` closure (the Spark-idiomatic broadcast of a small dim), so
+    every deep tile's FULL layer set — pages + polygon layers, with the
+    same bbox fan-out predicate and zoom pruning as the distributed
+    path — is encoded here and ASSEMBLED in place. Tile blobs are born
+    in their final partition and never cross an exchange (the assemble
+    groupBy previously re-shuffled ~1x the output bytes — the dominant
+    exchange at depth). Output rows are metric rows (layer set,
+    layer_bytes omitted) plus one assembled tile row per (z, x, y)
+    (layer NULL, tile_bytes set), byte-identical to
+    assemble_tiles(build_tiles(...)) by differential test."""
     rows = []
     buf = tiling.BUFFER_FRAC
+    # polygon closure split per layer in name order (assembly sorts by
+    # layer name; dict insertion below preserves this order)
+    poly_layers = []
+    if polys is not None and len(polys):
+        for name, lgdf in polys.groupby("layer", sort=True):
+            lgdf = lgdf.reset_index(drop=True)
+            lo, hi = (layer_zoom or {}).get(name, (0, grid.MAX_Z))
+            poly_layers.append((
+                name, lo, hi,
+                lgdf["minx"].to_numpy(np.float64),
+                lgdf["miny"].to_numpy(np.float64),
+                lgdf["maxx"].to_numpy(np.float64),
+                lgdf["maxy"].to_numpy(np.float64),
+                lgdf))
+
+    def world_y(lat, nz):
+        return (0.5 - np.log(np.tan(np.pi / 4.0 + lat * (np.pi / 180.0)
+                                    / 2.0)) / (2.0 * np.pi)) * float(nz)
+
     for (ax, ay), g in pdf.groupby(["x", "y"], sort=True):
+        g = g[g["lon"].notna()]  # skeleton rows mark polygon-only anchors
         lon = g["lon"].to_numpy(dtype=np.float64)
         lat = g["lat"].to_numpy(dtype=np.float64)
         phi = lat * (np.pi / 180.0)
@@ -653,54 +694,116 @@ def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
             n = 1 << z
             dz = z - anchor_z
             cap = caps.get(z) if caps else None
-            wx = (lon + 180.0) / 360.0 * float(n)
-            wy = (0.5 - ymerc / (2.0 * np.pi)) * float(n)
-            fx = np.floor(wx)
-            fy = np.floor(wy)
-            idx_all = []
-            tx_all = []
-            ty_all = []
-            for dx in (-1, 0, 1):
-                for dy in (-1, 0, 1):
-                    tx = (fx + dx).astype(np.int64)
-                    ty = (fy + dy).astype(np.int64)
-                    keep = (
-                        (tx >= 0) & (tx < n) & (ty >= 0) & (ty < n)
-                        & (wx >= tx - buf) & (wx <= tx + 1 + buf)
-                        & (wy >= ty - buf) & (wy <= ty + 1 + buf)
-                        & ((tx >> dz) == ax) & ((ty >> dz) == ay)
-                    )
-                    k = np.nonzero(keep)[0]
-                    if len(k):
-                        idx_all.append(k)
-                        tx_all.append(tx[k])
-                        ty_all.append(ty[k])
-            if not idx_all:
-                continue
-            idx = np.concatenate(idx_all)
-            txs = np.concatenate(tx_all)
-            tys = np.concatenate(ty_all)
-            # ONE take + ONE C-speed groupby per (anchor, zoom) — a
-            # per-tile .iloc loop cost more than the shuffle it saved
-            # (measured 457s vs 421s at 1.28M tiles)
-            exploded = g.take(idx)
-            exploded["_tx"] = txs
-            exploded["_ty"] = tys
-            # the anchored stream is the single-layer corpus ('pages'),
-            # so no layer column ships; the name is a kernel constant
-            for (tx, ty), lg in exploded.groupby(["_tx", "_ty"], sort=True):
-                if cap is not None and len(lg) > cap:
-                    # deterministic per-(tile, layer) budget, matching
-                    # the standard path's window cap: lowest feature_ids
-                    # kept; the drop count rides the _cap_dropped column
-                    # that _encode_one folds into n_dropped
-                    n_over = len(lg) - cap
-                    lg = lg.nsmallest(cap, "feature_id").assign(
-                        _cap_dropped=n_over)
-                rows.append(_encode_one(
-                    lg, time.perf_counter(), z, int(tx), int(ty),
-                    "pages", simplify=simplify, repair=repair))
-    return pd.DataFrame(rows, columns=_METRIC_COLS)
+            pt_groups = {}
+            if len(g):
+                wx = (lon + 180.0) / 360.0 * float(n)
+                wy = (0.5 - ymerc / (2.0 * np.pi)) * float(n)
+                fx = np.floor(wx)
+                fy = np.floor(wy)
+                idx_all = []
+                tx_all = []
+                ty_all = []
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        tx = (fx + dx).astype(np.int64)
+                        ty = (fy + dy).astype(np.int64)
+                        keep = (
+                            (tx >= 0) & (tx < n) & (ty >= 0) & (ty < n)
+                            & (wx >= tx - buf) & (wx <= tx + 1 + buf)
+                            & (wy >= ty - buf) & (wy <= ty + 1 + buf)
+                            & ((tx >> dz) == ax) & ((ty >> dz) == ay)
+                        )
+                        k = np.nonzero(keep)[0]
+                        if len(k):
+                            idx_all.append(k)
+                            tx_all.append(tx[k])
+                            ty_all.append(ty[k])
+                if idx_all:
+                    idx = np.concatenate(idx_all)
+                    txs = np.concatenate(tx_all)
+                    tys = np.concatenate(ty_all)
+                    # ONE take + ONE C-speed groupby per (anchor, zoom)
+                    # — a per-tile .iloc loop cost more than the shuffle
+                    # it saved (measured 457s vs 421s at 1.28M tiles)
+                    exploded = g.take(idx)
+                    exploded["_tx"] = txs
+                    exploded["_ty"] = tys
+                    pt_groups = {(int(tx), int(ty)): lg for (tx, ty), lg
+                                 in exploded.groupby(["_tx", "_ty"],
+                                                     sort=True)}
+
+            # polygon membership: the same buffered bbox range as
+            # tiling.assign_bbox_tiles, intersected with this anchor's
+            # descendant window (each deep tile owned by ONE anchor)
+            poly_tiles: dict = {}
+            if poly_layers:
+                ax0, ax1 = ax << dz, ((ax + 1) << dz) - 1
+                ay0, ay1 = ay << dz, ((ay + 1) << dz) - 1
+                for name, lo, hi, pminx, pminy, pmaxx, pmaxy, lgdf \
+                        in poly_layers:
+                    if z < lo or z > hi:
+                        continue
+                    x0 = np.floor((pminx + 180.0) / 360.0 * float(n)
+                                  - buf).astype(np.int64)
+                    x1 = np.floor((pmaxx + 180.0) / 360.0 * float(n)
+                                  + buf).astype(np.int64)
+                    y0 = np.floor(world_y(pmaxy, n) - buf).astype(np.int64)
+                    y1 = np.floor(world_y(pminy, n) + buf).astype(np.int64)
+                    x0 = np.maximum(np.maximum(x0, 0), ax0)
+                    x1 = np.minimum(np.minimum(x1, n - 1), ax1)
+                    y0 = np.maximum(np.maximum(y0, 0), ay0)
+                    y1 = np.minimum(np.minimum(y1, n - 1), ay1)
+                    for i in np.nonzero((x0 <= x1) & (y0 <= y1))[0]:
+                        for tx in range(int(x0[i]), int(x1[i]) + 1):
+                            for ty in range(int(y0[i]), int(y1[i]) + 1):
+                                poly_tiles.setdefault((tx, ty), {}) \
+                                    .setdefault(name, []).append(int(i))
+
+            for key in sorted(set(pt_groups) | set(poly_tiles)):
+                tx, ty = key
+                tile_metrics = []
+                lg = pt_groups.get(key)
+                if lg is not None:
+                    if cap is not None and len(lg) > cap:
+                        # deterministic per-(tile, layer) budget matching
+                        # the standard path's window cap: lowest
+                        # feature_ids kept; drops ride _cap_dropped
+                        n_over = len(lg) - cap
+                        lg = lg.nsmallest(cap, "feature_id").assign(
+                            _cap_dropped=n_over)
+                    tile_metrics.append(_encode_one(
+                        lg, time.perf_counter(), z, tx, ty,
+                        "pages", simplify=simplify, repair=repair))
+                for name, idxs in poly_tiles.get(key, {}).items():
+                    _, _, _, _, _, _, _, lgdf = next(
+                        pl for pl in poly_layers if pl[0] == name)
+                    sub = lgdf.iloc[idxs][["feature_id", "geom",
+                                           "tag_name"]]
+                    if cap is not None and len(sub) > cap:
+                        n_over = len(sub) - cap
+                        sub = sub.nsmallest(cap, "feature_id").assign(
+                            _cap_dropped=n_over)
+                    tile_metrics.append(_encode_one(
+                        sub, time.perf_counter(), z, tx, ty, name,
+                        simplify=simplify, repair=repair))
+                # in-place assembly: byte concat in layer-name order
+                # (identical to assemble_tiles' array_sort concat)
+                tile_metrics.sort(key=lambda m: m["layer"])
+                tb = b"".join(m["layer_bytes"] for m in tile_metrics)
+                for m in tile_metrics:
+                    m = dict(m, layer_bytes=None, tile_bytes=None,
+                             n_layers=None, tile_len=None)
+                    rows.append(m)
+                rows.append({
+                    "z": z, "x": tx, "y": ty, "layer": None,
+                    "layer_bytes": None,
+                    "n_features": sum(m["n_features"]
+                                      for m in tile_metrics),
+                    "n_dropped": None, "bytes": None, "encode_ms": None,
+                    "tile_bytes": tb, "n_layers": len(tile_metrics),
+                    "tile_len": len(tb),
+                })
+    return pd.DataFrame(rows, columns=_FUSED_COLS)
 
 
 def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
@@ -734,14 +837,15 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
                            repair_polygons=repair_polygons,
                            max_features_per_tile=max_features_per_tile)
 
-    # standard path: polygons at ALL zooms + points at low zooms only
-    # (skipped entirely when it would have nothing to build)
-    std_metrics = None
-    if zooms_lo or with_polygons:
-        std_metrics, _ = build_tiles(
-            spark, sf_dir, zooms, docs=docs, with_polygons=with_polygons,
+    # standard path covers the low zooms COMPLETELY (points + polygons
+    # + assemble); every deep zoom — polygon layers included — is fused
+    # into the anchor kernel below
+    std_metrics = std_tiles = None
+    if zooms_lo:
+        std_metrics, std_tiles = build_tiles(
+            spark, sf_dir, zooms_lo, docs=docs, with_polygons=with_polygons,
             simplify=simplify, repair_polygons=repair_polygons,
-            max_features_per_tile=max_features_per_tile, point_zooms=zooms_lo)
+            max_features_per_tile=max_features_per_tile)
 
     # hierarchical path: ONE anchor shuffle for all deep point zooms,
     # carrying only the point stream's live columns (z is the constant
@@ -749,6 +853,27 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
     pts = point_features(spark, sf_dir, docs=docs)
     anchored = tiling.assign_point_tiles(pts, [anchor_z]).select(
         "x", "y", "feature_id", "lon", "lat", "tag_url", "tag_lang")
+
+    # polygon layers are layer-catalog-sized: collect once and ship in
+    # the kernel closure (the broadcast-small-dim move), plus skeleton
+    # anchor keys so polygon-only anchors (a nation with no pages in
+    # range) still produce their deep tiles
+    polys_pd = layer_zoom = None
+    if with_polygons:
+        pf = polygon_features(spark, sf_dir)
+        polys_pd = pf.toPandas()
+        polys_pd["geom"] = polys_pd["geom"].map(bytes)
+        layer_zoom = {r["layer"]: (r["min_zoom"], r["max_zoom"])
+                      for r in layers.layer_catalog(spark).collect()}
+        nulls = [F.lit(None).cast("long").alias("feature_id"),
+                 F.lit(None).cast("double").alias("lon"),
+                 F.lit(None).cast("double").alias("lat"),
+                 F.lit(None).cast("string").alias("tag_url"),
+                 F.lit(None).cast("string").alias("tag_lang")]
+        skel = (tiling.assign_bbox_tiles(pf, [anchor_z])
+                .select("x", "y").distinct().select("x", "y", *nulls))
+        anchored = anchored.unionByName(skel)
+
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
 
     # same per-(tile, layer) budget policy as the standard path, applied
@@ -763,14 +888,21 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
 
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
         return _encode_anchor_bucket(pdf, anchor_z, zooms_hi,
-                                     simplify, repair_polygons, caps=caps)
+                                     simplify, repair_polygons, caps=caps,
+                                     polys=polys_pd, layer_zoom=layer_zoom)
 
-    hier_metrics = (
+    fused = (
         anchored.withColumn(
             "_bucket", F.pmod(F.hash("x", "y"), F.lit(n_buckets)))
         .groupBy("_bucket")
-        .applyInPandas(_encode, ENCODE_SCHEMA)
+        .applyInPandas(_encode, FUSED_SCHEMA)
     )
+    hier_metrics = fused.where(F.col("layer").isNotNull()) \
+        .select(*_METRIC_COLS)
+    hier_tiles = fused.where(F.col("layer").isNull()).select(
+        "z", "x", "y", "tile_bytes", "n_features", "n_layers", "tile_len")
     metrics = hier_metrics if std_metrics is None \
         else std_metrics.unionByName(hier_metrics)
-    return metrics, assemble_tiles(metrics)
+    tiles = hier_tiles if std_tiles is None \
+        else std_tiles.unionByName(hier_tiles)
+    return metrics, tiles
