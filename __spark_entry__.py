@@ -428,33 +428,83 @@ def q_embedding_norms(spark, sf_dir):
 
 
 def q_similarity_ann(spark, sf_dir):
+    """LSH multiprobe ANN, HASH-CHECKED end-to-end (round-3 VERDICT
+    item 4): signatures use the sequential-fold dot expression
+    (similarity.lsh_signatures sequential=True) so the DuckDB oracle
+    recomputes the ENTIRE approximate pipeline — signatures, probe
+    buckets, candidate join, exact re-rank — bit-for-bit."""
     from tegola_spark.operators import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = emb.select(F.size("embedding")).first()[0]
     return similarity.lsh_ann_topk(emb, SIM_QUERY_IDS, k=5, dim=dim,
-                                   n_planes=8, multiprobe=2)
+                                   n_planes=8, multiprobe=2,
+                                   sequential=True)
 
 
 def q_similarity_selfjoin(spark, sf_dir):
     """Per-document near-neighbor SELF-join (|Q| = corpus): every
-    vector queries the IVF index with broadcast_queries=False — the
+    vector queries the LSH index with broadcast_queries=False — the
     shuffled-hash bucket join a corpus-sized query side needs at
-    100 TB (the batch entry exercises the broadcast path). Rows-only
-    like the other ANN entries; recall asserted in tests."""
+    100 TB (the ivf_batch entry exercises IVF + broadcast). Sequential
+    signatures make the whole self-join oracle-checkable: DuckDB
+    recomputes every bucket and every re-rank."""
     from tegola_spark.operators import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = emb.select(F.size("embedding")).first()[0]
-    return similarity.ann_self_topk(emb, k=3, dim=dim, n_centroids=16,
-                                    nprobe=4)
+    return similarity.ann_self_topk(emb, k=3, dim=dim, method="lsh",
+                                    n_planes=8, multiprobe=1,
+                                    sequential=True)
+
+
+def q_similarity_ann_batch(spark, sf_dir):
+    """Large-query-set LSH ANN (|Q| = 2 x n_vecs: every embedding plus
+    a perturbed twin) — the distributed batch shape of knn_pages /
+    ivf_batch, hash-checked: the perturbation, signatures, probing and
+    re-rank are all expressible in the oracle SQL."""
+    from tegola_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = emb.select(F.size("embedding")).first()[0]
+    q1 = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("qemb"))
+    q2 = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("query_id"),
+        F.transform("embedding",
+                    lambda v: v.cast("double") + F.lit(0.01)).alias("qemb"))
+    return similarity.lsh_ann_topk_df(
+        emb, q1.unionByName(q2), k=5, dim=dim, n_planes=8, multiprobe=1,
+        sequential=True)
 
 
 def q_minhash_pairs(spark, sf_dir):
-    from tegola_spark.operators import dedup
+    """MinHash LSH candidate generation + EXACT verification — the real
+    dedup pipeline shape, now hash-checked: banded minhash surfaces
+    candidate pairs (python-hash family, not SQL-expressible), then the
+    word-trigram jaccard kernel (value-exact vs DuckDB, see
+    ngram_jaccard) verifies them. The oracle computes ground truth from
+    ALL pairs, so a single near-dup pair the LSH bands miss turns the
+    entry red — candidate recall is part of what is checked."""
+    from tegola_spark.operators import dedup, textstats
     from tegola_spark.sources import corpus
 
-    return dedup.minhash_lsh_pairs(corpus.documents(spark, sf_dir), threshold=0.8)
+    docs = corpus.documents(spark, sf_dir)
+    cand = dedup.minhash_lsh_pairs(docs, threshold=0.0) \
+        .select("id_a", "id_b")
+    d = docs.select(F.col("doc_id"),
+                    textstats.col_word_ngrams(F.col("text")).alias("g"))
+    return (
+        cand.join(d.select(F.col("doc_id").alias("id_a"),
+                           F.col("g").alias("ga")), "id_a")
+        .join(d.select(F.col("doc_id").alias("id_b"),
+                       F.col("g").alias("gb")), "id_b")
+        .select("id_a", "id_b",
+                F.round(textstats.col_jaccard(F.col("ga"), F.col("gb")),
+                        6).alias("jaccard_r6"))
+        .where(F.col("jaccard_r6") >= 0.6)
+    )
 
 
 def q_simhash_fingerprints(spark, sf_dir):
@@ -462,6 +512,16 @@ def q_simhash_fingerprints(spark, sf_dir):
     from tegola_spark.sources import corpus
 
     return dedup.simhash_fingerprints(corpus.documents(spark, sf_dir))
+
+
+def q_simhash_portable(spark, sf_dir):
+    """Cross-engine SimHash (md5 token hashes, 60-bit fingerprints,
+    pure column expressions) — DuckDB recomputes every fingerprint
+    exactly; the blake2b variant stays the throughput path."""
+    from tegola_spark.operators import dedup
+    from tegola_spark.sources import corpus
+
+    return dedup.simhash_fingerprints_portable(corpus.documents(spark, sf_dir))
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -624,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "embedding_norms": q_embedding_norms,
         "similarity_ann": q_similarity_ann,
+        "similarity_ann_batch": q_similarity_ann_batch,
         "similarity_ivf": q_similarity_ivf,
         "similarity_ivf_batch": q_similarity_ivf_batch,
         "similarity_selfjoin": q_similarity_selfjoin,
@@ -633,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_vectorize": q_raster_vectorize,
         "minhash_pairs": q_minhash_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
+        "simhash_portable": q_simhash_portable,
         "multimodal_decode": q_multimodal_decode,
         "extract_parity": q_extract_parity,
     }
@@ -974,10 +1036,146 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS text_md5
             FROM documents
         """,
-        # mvt_tiles / mvt_layer_metrics / similarity_ann / minhash_pairs /
+        "similarity_ann": _lsh_ann_oracle(
+            5, 8, 2,
+            "SELECT vec_id AS query_id, embedding AS qemb FROM embeddings "
+            f"WHERE vec_id IN ({','.join(map(str, SIM_QUERY_IDS))})"),
+        "similarity_selfjoin": _lsh_ann_oracle(
+            3, 8, 1,
+            "SELECT vec_id AS query_id, embedding AS qemb FROM embeddings"),
+        "similarity_ann_batch": _lsh_ann_oracle(
+            5, 8, 1,
+            "SELECT vec_id AS query_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qemb "
+            "FROM embeddings "
+            "UNION ALL "
+            "SELECT vec_id + 10000000 AS query_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01) AS qemb "
+            "FROM embeddings"),
+        "minhash_pairs": _TRIGRAM_JACCARD_SQL,
+        "simhash_portable": _simhash_portable_oracle(),
+        # mvt_tiles / mvt_layer_metrics / similarity_ivf(_batch) /
         # simhash_fingerprints / multimodal_decode: no SQL equivalent
-        # (binary encode, python-hash LSH, stub decode) -> rows-only.
+        # (binary encode, data-dependent k-means centroids, blake2b
+        # hashes, stub decode) -> rows-only.
     }
+
+
+# ---------------------------------------------------------------------------
+# LSH / simhash oracle builders (round-4): DuckDB recomputes the FULL
+# approximate pipelines — same plane constants, same sequential-fold
+# dot products, same probe masks, same re-rank — so the ANN entries are
+# hash-checked end-to-end instead of rows-only.
+# ---------------------------------------------------------------------------
+
+def _l2_sql(e: str) -> str:
+    return (f"sqrt(list_aggregate(list_transform({e}, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))")
+
+
+def _lsh_sig_sql(emb_expr: str, n_planes: int, dim: int = 64) -> str:
+    """Signature expression with the plane constants inlined (the same
+    _planes(seed) array the Spark side uses; testdata embeddings are
+    dim=64 at every sf)."""
+    from tegola_spark.operators.similarity import _planes
+
+    planes = _planes(dim, n_planes)
+    terms = []
+    for i in range(n_planes):
+        lit = "[" + ", ".join(repr(float(v)) for v in planes[i]) + "]::DOUBLE[]"
+        dot = (f"list_aggregate(list_transform(list_zip({emb_expr}, {lit}), "
+               "x -> CAST(x[1] AS DOUBLE) * x[2]), 'sum')")
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_masks(n_planes: int, multiprobe: int) -> str:
+    masks = [0]
+    if multiprobe >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if multiprobe >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(n_planes) for j in range(i + 1, n_planes)]
+    return ", ".join(map(str, masks))
+
+
+def _lsh_ann_oracle(k: int, n_planes: int, multiprobe: int,
+                    query_sql: str) -> str:
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding, {_l2_sql('embedding')} AS nnorm,
+                 {_lsh_sig_sql('embedding', n_planes)} AS nsig
+          FROM embeddings
+        ), q AS ({query_sql}),
+        qs AS (
+          SELECT query_id, qemb, {_l2_sql('qemb')} AS qnorm,
+                 {_lsh_sig_sql('qemb', n_planes)} AS qsig
+          FROM q
+        ), probes AS (
+          SELECT query_id, qemb, qnorm, xor(qsig, m) AS psig
+          FROM qs, (SELECT unnest([{_lsh_masks(n_planes, multiprobe)}]) AS m)
+        ), cand AS (
+          SELECT p.query_id, b.vec_id AS neighbor_id,
+                 list_aggregate(list_transform(list_zip(p.qemb, b.embedding),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')
+                 / (p.qnorm * b.nnorm) AS score
+          FROM probes p JOIN base b
+            ON b.nsig = p.psig AND b.vec_id <> p.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rank
+          FROM cand
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               ROUND(score, 6) AS score_r6
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+_TRIGRAM_JACCARD_SQL = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents
+        ), tris AS (
+          SELECT doc_id,
+                 list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                for i in range(1, greatest(len(t)-1, 1))]) AS g
+          FROM toks
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
+                     greatest(len(list_distinct(a.g || b.g)), 1),
+                     6) AS jaccard_r6
+        FROM tris a JOIN tris b ON a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
+                    greatest(len(list_distinct(a.g || b.g)), 1), 6) >= 0.6
+"""
+
+
+def _simhash_portable_oracle(bits: int = 60) -> str:
+    h = f"CAST(concat('0x', substr(md5(tok), 2, {bits // 4})) AS BIGINT)"
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits))
+    fp = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+                    for b in range(bits))
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents
+        ), h AS (
+          SELECT doc_id, {h} AS h FROM toks WHERE tok <> ''
+        ), agg AS (
+          SELECT doc_id, {sums} FROM h GROUP BY doc_id
+        )
+        SELECT d.doc_id AS id,
+               CAST(COALESCE(f.fp, 0) AS BIGINT) AS simhash
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, {fp} AS fp FROM agg) f
+          ON d.doc_id = f.doc_id
+    """
 
 
 def _knn_oracle() -> str:

@@ -257,6 +257,43 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col).alias("id"), sh(F.col(text_col)).alias("simhash"))
 
 
+def simhash_fingerprints_portable(df: DataFrame, text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  bits: int = 60) -> DataFrame:
+    """Cross-engine-reproducible SimHash, pure column expressions (no
+    Python anywhere): token hash = the low ``bits`` (default 60) of
+    md5(token) — both Spark and DuckDB expose byte-identical md5, and
+    60 bits keeps the hex parse inside a signed BIGINT — then the
+    classic per-bit majority over ALL tokens (duplicates counted,
+    integer sums so aggregation order cannot matter). The blake2b
+    variant (:func:`simhash_fingerprints`) stays the throughput path;
+    this one exists so an independent SQL engine can recompute every
+    fingerprint exactly (the oracle entry `simhash_portable`)."""
+    toks = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                  .alias("tok"))
+        .where(F.col("tok") != "")
+        .withColumn("h", F.conv(
+            F.substring(F.md5(F.col("tok").cast("binary")), 2, bits // 4),
+            16, 10).cast("long"))
+    )
+    aggs = [
+        F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    per = toks.groupBy("id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"_b{b}") > 0,
+                         F.lit(1 << b)).otherwise(F.lit(0))
+    out = per.select("id", fp.alias("simhash"))
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(out, "id", "left").select(
+        "id", F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash"))
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= max_hamming,

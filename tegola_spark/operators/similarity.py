@@ -57,8 +57,26 @@ def _planes(dim: int, n_planes: int, seed: int = _SEED) -> np.ndarray:
 
 
 def lsh_signatures(emb: DataFrame, dim: int, n_planes: int = 12,
-                   id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   sequential: bool = False) -> DataFrame:
+    """Random-hyperplane signatures. Default path: one Arrow batch
+    matmul (BLAS — the throughput path). ``sequential=True`` computes
+    each plane dot as the same left-fold column expression the
+    brute-force oracle uses (aggregate over zip_with) — bit-for-bit
+    reproducible by any engine with ordered list aggregation, so the
+    ANN entries can be hash-checked end-to-end against DuckDB (BLAS
+    pairwise summation may flip a sign on a near-zero dot)."""
     planes = _planes(dim, n_planes)
+    if sequential:
+        sig = F.lit(0)
+        for i in range(n_planes):
+            arr = F.array(*[F.lit(float(v)) for v in planes[i]])
+            dot = F.aggregate(
+                F.zip_with(F.col(emb_col), arr,
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, v: acc + v)
+            sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return emb.withColumn("_sig", sig.cast("int"))
 
     @F.pandas_udf(T.IntegerType())
     def sig(vecs: pd.Series) -> pd.Series:
@@ -91,7 +109,8 @@ def lsh_ann_topk_df(emb: DataFrame, queries: DataFrame, k: int, dim: int,
                     id_col: str = "vec_id", emb_col: str = "embedding",
                     query_id_col: str = "query_id",
                     query_emb_col: str = "qemb",
-                    broadcast_queries: bool = True) -> DataFrame:
+                    broadcast_queries: bool = True,
+                    sequential: bool = False) -> DataFrame:
     """Fully-distributed approximate top-k: ``queries`` is a DataFrame
     of (query_id, qemb) — per-document queries at |Q| = corpus scale
     never touch the driver. The query's bucket plus every bucket at
@@ -101,12 +120,14 @@ def lsh_ann_topk_df(emb: DataFrame, queries: DataFrame, k: int, dim: int,
     equi-join on the bucket id and an exact re-rank. Set
     ``broadcast_queries=False`` for corpus-sized query sets (shuffled
     hash join + AQE on the bucket key)."""
-    sigs = with_norm(lsh_signatures(emb, dim, n_planes, id_col, emb_col), emb_col)
+    sigs = with_norm(lsh_signatures(emb, dim, n_planes, id_col, emb_col,
+                                    sequential=sequential), emb_col)
     base = sigs.select(F.col(id_col).alias("nid"), F.col(emb_col).alias("nemb"),
                        F.col("_norm").alias("nnorm"), F.col("_sig").alias("nsig"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_emb_col).alias("qemb"))
-    qsigs = with_norm(lsh_signatures(q, dim, n_planes, "query_id", "qemb"),
+    qsigs = with_norm(lsh_signatures(q, dim, n_planes, "query_id", "qemb",
+                                     sequential=sequential),
                       "qemb").withColumnRenamed("_norm", "qnorm")
     masks = [0]
     if multiprobe >= 1:
@@ -125,14 +146,15 @@ def lsh_ann_topk_df(emb: DataFrame, queries: DataFrame, k: int, dim: int,
 
 def lsh_ann_topk(emb: DataFrame, query_ids, k: int, dim: int,
                  n_planes: int = 12, multiprobe: int = 1,
-                 id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 sequential: bool = False) -> DataFrame:
     """Approximate top-k for an id list: the query side is carved out of
     the corpus AS A DATAFRAME and delegated to lsh_ann_topk_df — no
     driver collect anywhere (round-2 review item closed)."""
     queries = emb.where(F.col(id_col).isin(list(query_ids))).select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("qemb"))
     return lsh_ann_topk_df(emb, queries, k, dim, n_planes, multiprobe,
-                           id_col, emb_col)
+                           id_col, emb_col, sequential=sequential)
 
 
 def cosine_near_dup_pairs(emb: DataFrame, threshold: float = 0.95, dim: int = 0,

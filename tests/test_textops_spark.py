@@ -430,3 +430,64 @@ def test_ivf_deterministic_and_bounded_probe(emb):
     e = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in exact.collect()}
     f = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in full.collect()}
     assert e == f
+
+
+def test_sequential_signatures_match_blas(emb):
+    """The sequential-fold signature (the oracle-checkable path) agrees
+    with the BLAS batch path on the driver embeddings — same bits
+    unless a dot lands within summation-reordering distance of zero,
+    which the seeded planes never do on this data."""
+    dim = emb.select(F.size("embedding")).first()[0]
+    a = similarity.lsh_signatures(emb, dim, n_planes=8).select(
+        "vec_id", "_sig").toPandas().sort_values("vec_id")
+    b = similarity.lsh_signatures(emb, dim, n_planes=8, sequential=True) \
+        .select("vec_id", "_sig").toPandas().sort_values("vec_id")
+    assert (a["_sig"].to_numpy() == b["_sig"].to_numpy()).all()
+
+
+def test_simhash_portable_matches_reference_loop(spark):
+    """Portable (md5/60-bit, pure column expressions) simhash equals a
+    direct per-document python reimplementation of the same definition,
+    including the empty-document zero fingerprint."""
+    import hashlib
+
+    rows = [(1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),   # identical -> same fp
+            (3, "completely different words entirely"),
+            (4, "   "),                       # whitespace-only -> 0
+            (5, "one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["simhash"]
+           for r in dedup.simhash_fingerprints_portable(df).collect()}
+
+    def ref(text):
+        toks = text.strip().split()
+        if not toks:
+            return 0
+        acc = [0] * 60
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[1:16], 16)
+            for b in range(60):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(60) if acc[b] > 0)
+
+    for doc_id, text in rows:
+        assert got[doc_id] == ref(text), doc_id
+    assert got[1] == got[2]
+    assert got[4] == 0
+
+
+def test_lsh_selfjoin_sequential_recall(emb):
+    """The oracle-checked LSH self-join (sequential signatures,
+    multiprobe=1) still finds a sane fraction of true neighbors on the
+    random-gaussian worst case."""
+    dim = emb.select(F.size("embedding")).first()[0]
+    got = similarity.ann_self_topk(emb, k=3, dim=dim, method="lsh",
+                                   n_planes=8, multiprobe=1,
+                                   sequential=True)
+    allids = [r[0] for r in emb.select("vec_id").limit(20).collect()]
+    exact = similarity.brute_force_topk(emb, allids, k=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in got.collect()
+         if r["query_id"] in set(allids)}
+    assert len(a & e) / len(e) >= 0.1  # random data: loose floor only
