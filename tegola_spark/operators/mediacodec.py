@@ -276,14 +276,27 @@ def decode_jpeg(b: bytes) -> dict:
 
 
 def decode_mp4(b: bytes) -> dict:
-    """Container-level decode (mp4codec.py): real dims/frames/duration,
-    pixels=None (sample payloads need an external video codec)."""
-    from . import mp4codec
+    """Container-level decode (mp4codec.py): real dims/frames/duration.
+    For MJPEG tracks (codec fourcc jpeg/mjpa/mjpg — every video sample
+    is a baseline JPEG) the FIRST frame's pixels are entropy-decoded
+    in-container (mp4codec.frame_samples -> jpegcodec), so content
+    features come from real pixels; other codecs keep pixels=None (the
+    one remaining external-codec surface). A corrupt frame inside a
+    valid container degrades to pixels=None instead of failing."""
+    from . import jpegcodec, mp4codec
 
     try:
-        return mp4codec.decode_mp4(b)
+        info = mp4codec.decode_mp4(b)
     except mp4codec.Mp4Error as e:
         raise MediaDecodeError(str(e)) from e
+    if (info.get("codec") or "").lower() in ("jpeg", "mjpa", "mjpg"):
+        try:
+            first = mp4codec.frame_samples(b, max_frames=1)
+            if first:
+                info["pixels"] = jpegcodec.decode_jpeg(first[0])["pixels"]
+        except (mp4codec.Mp4Error, jpegcodec.JpegError):
+            pass
+    return info
 
 
 _DECODERS = {
