@@ -159,6 +159,38 @@ def decode(buf: bytes):
     return _Reader(bytes(buf)).geometry()
 
 
+def soa_to_geometry(code, coords, ring_lens, poly_lens=None):
+    """Ring-SoA shuffle transport -> geometry tuple, no byte parsing:
+    ``coords`` is the flat interleaved (x, y, x, y, ...) double array,
+    ``ring_lens`` the per-ring vertex counts, ``poly_lens`` (MultiPolygon
+    only) the per-polygon ring counts. Output is structurally identical
+    to :func:`decode`'s tuples — same (n, 2) float64 ring arrays — so
+    every downstream kernel (reproject/quantize/clip/make-valid) is
+    byte-for-byte unaffected; only the codec work disappears. This is
+    the round-3 VERDICT 'SoA transport for ring geometries' item: the
+    polygon stream ships these three plain Arrow columns instead of WKB
+    blobs, and the encode kernel's per-feature loop no longer parses
+    bytes."""
+    pts = np.asarray(coords, dtype=np.float64).reshape(-1, 2)
+    lens = np.asarray(ring_lens, dtype=np.int64)
+    rings = np.split(pts, np.cumsum(lens)[:-1]) if len(lens) else []
+    code = int(code)
+    if code == WKB_LINESTRING:
+        return ("LineString", rings[0] if rings else pts)
+    if code == WKB_MULTILINESTRING:
+        return ("MultiLineString", rings)
+    if code == WKB_POLYGON:
+        return ("Polygon", rings)
+    if code == WKB_MULTIPOLYGON:
+        out = []
+        k = 0
+        for c in np.asarray(poly_lens, dtype=np.int64):
+            out.append(rings[k:k + int(c)])
+            k += int(c)
+        return ("MultiPolygon", out)
+    raise ValueError(f"unsupported SoA geometry code {code}")
+
+
 def flatten_collection(geom):
     """NewFeatures (mvt/feature.go:48-67): a Collection flattens
     recursively into its member geometries; any other geometry yields

@@ -284,7 +284,7 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
                 "bytes": len(blob),
                 "encode_ms": (time.perf_counter() - t0) * 1000.0,
             }
-    if soa.all() and len(pdf):
+    if (soa.all() and len(pdf)) or "geom" not in pdf.columns:
         wkbpt = np.zeros(len(pdf), dtype=bool)
     else:
         wkbpt = np.fromiter(
@@ -314,13 +314,34 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
                 buf[:, 13:21].copy().view("<f8").ravel(),
                 ext, clip_region, (wpts["srid"] != 3857).to_numpy()))
         rest = pdf[~(soa | wkbpt)]
-    rest_tags = _tag_dicts(rest) if len(rest) else []
-    # geom-less streams (the SoA point stream) have no geom column at
-    # all; their remainder is always empty, so skip the column lookup
-    rest_iter = () if not len(rest) else zip(
-        rest["feature_id"], rest["geom"], rest_tags, rest["srid"])
-    for fid, gwkb, tags, srid in rest_iter:
-        decoded = wkb.decode(bytes(gwkb))
+    # remainder split: ring-SoA rows (coords column, wkb.soa_to_geometry
+    # — no byte parsing) vs WKB rows (generic codec path)
+    if len(rest) and "coords" in rest.columns:
+        ring_mask = rest["coords"].notna().to_numpy()
+    else:
+        ring_mask = np.zeros(len(rest), dtype=bool)
+
+    def _decoded_iter():
+        wkb_rows = rest[~ring_mask] if ring_mask.any() else rest
+        if len(wkb_rows):
+            tags_w = _tag_dicts(wkb_rows)
+            for fid, gwkb, tags, srid in zip(
+                    wkb_rows["feature_id"], wkb_rows["geom"], tags_w,
+                    wkb_rows["srid"]):
+                yield fid, wkb.decode(bytes(gwkb)), tags, srid
+        if ring_mask.any():
+            ring_rows = rest[ring_mask]
+            tags_r = _tag_dicts(ring_rows)
+            plens = ring_rows["poly_lens"] if "poly_lens" in ring_rows.columns \
+                else [None] * len(ring_rows)
+            for fid, code, coords, rl, pl, tags, srid in zip(
+                    ring_rows["feature_id"], ring_rows["gkind"],
+                    ring_rows["coords"], ring_rows["ring_lens"], plens,
+                    tags_r, ring_rows["srid"]):
+                yield fid, wkb.soa_to_geometry(code, coords, rl, pl), \
+                    tags, srid
+
+    for fid, decoded, tags, srid in _decoded_iter():
         # GeometryCollection: empty -> feature skipped (atlas/map.go:232-236);
         # non-empty -> one feature per member geometry, tags shared
         # (mvt.NewFeatures flattening, mvt/feature.go:48-67)
@@ -382,12 +403,29 @@ def point_features(spark: SparkSession, sf_dir: str, docs=None) -> DataFrame:
     )
 
 
+# polygon-stream ring-SoA transport columns (wkb.soa_to_geometry)
+POLY_SOA_COLS = ["coords", "ring_lens", "poly_lens", "gkind"]
+
+
 def polygon_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon layers as ring-SoA columns: flat coord array + ring/poly
+    length arrays + the WKB type code — built with PURE column
+    expressions (the rect corners are already columns), so no codec UDF
+    runs on the scan side and the encode kernel reconstructs identical
+    ring arrays without parsing bytes. Arbitrary-geometry sources can
+    keep shipping a `geom` WKB column instead; the kernel handles both."""
     nat = layers.nation_layer(spark, sf_dir)
     reg = layers.region_layer(spark, sf_dir)
     both = nat.unionByName(reg)
+    d = [F.col(c).cast("double") for c in ("minx", "miny", "maxx", "maxy")]
+    # same vertex order as the WKB rect ring: (x0,y0)(x1,y0)(x1,y1)(x0,y1)(x0,y0)
+    ring = F.array(d[0], d[1], d[2], d[1], d[2], d[3], d[0], d[3], d[0], d[1])
     return both.select(
-        "feature_id", "layer", "minx", "miny", "maxx", "maxy", "geom",
+        "feature_id", "layer", "minx", "miny", "maxx", "maxy",
+        ring.alias("coords"),
+        F.array(F.lit(5)).alias("ring_lens"),
+        F.array(F.lit(1)).alias("poly_lens"),
+        F.lit(wkb.WKB_POLYGON).alias("gkind"),
         F.col("name").alias("tag_name"),
     )
 
@@ -562,7 +600,8 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
             c = (F.col("layer") == name) & (F.col("z") >= lo) & (F.col("z") <= hi)
             cond = c if cond is None else (cond | c)
         streams.append((polys.where(cond).select(
-            "z", "x", "y", "layer", "feature_id", "geom", "tag_name"), None))
+            "z", "x", "y", "layer", "feature_id", *POLY_SOA_COLS,
+            "tag_name"), None))
 
     if with_debug:
         streams.append((debug_features(spark, zooms), None))
@@ -777,7 +816,7 @@ def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
                 for name, idxs in poly_tiles.get(key, {}).items():
                     _, _, _, _, _, _, _, lgdf = next(
                         pl for pl in poly_layers if pl[0] == name)
-                    sub = lgdf.iloc[idxs][["feature_id", "geom",
+                    sub = lgdf.iloc[idxs][["feature_id", *POLY_SOA_COLS,
                                            "tag_name"]]
                     if cap is not None and len(sub) > cap:
                         n_over = len(sub) - cap
@@ -862,7 +901,6 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
     if with_polygons:
         pf = polygon_features(spark, sf_dir)
         polys_pd = pf.toPandas()
-        polys_pd["geom"] = polys_pd["geom"].map(bytes)
         layer_zoom = {r["layer"]: (r["min_zoom"], r["max_zoom"])
                       for r in layers.layer_catalog(spark).collect()}
         nulls = [F.lit(None).cast("long").alias("feature_id"),

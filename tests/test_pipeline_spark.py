@@ -288,3 +288,63 @@ def test_typed_default_tags_through_spark(spark, sf_dir):
     assert tm["rank"] == 3 and type(tm["rank"]) is int
     assert tm["flag"] is True
     assert tm["weight"] == 0.5 and type(tm["weight"]) is float
+
+
+def test_soa_to_geometry_matches_wkb_decode():
+    """Ring-SoA reconstruction is structurally identical to the WKB
+    decoder's tuples for every supported kind."""
+    from tegola_spark.functions import wkb
+
+    ring1 = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 0.0]])
+    ring2 = np.array([[1.0, 1.0], [2.0, 1.0], [1.5, 2.0], [1.0, 1.0]])
+    cases = [
+        (("Polygon", [ring1, ring2]),
+         (wkb.WKB_POLYGON,
+          np.concatenate([ring1, ring2]).ravel(), [4, 4], None)),
+        (("MultiPolygon", [[ring1], [ring2]]),
+         (wkb.WKB_MULTIPOLYGON,
+          np.concatenate([ring1, ring2]).ravel(), [4, 4], [1, 1])),
+        (("LineString", ring1),
+         (wkb.WKB_LINESTRING, ring1.ravel(), [4], None)),
+        (("MultiLineString", [ring1, ring2]),
+         (wkb.WKB_MULTILINESTRING,
+          np.concatenate([ring1, ring2]).ravel(), [4, 4], None)),
+    ]
+    for want, (code, coords, rl, pl) in cases:
+        got = wkb.soa_to_geometry(code, coords, rl, pl)
+        ref = wkb.decode(wkb.encode(want))
+        assert got[0] == ref[0]
+        gflat = got[1] if got[0] == "LineString" else got[1]
+        def _np(x):
+            import numpy as _n
+            return _n.asarray(x)
+        if got[0] == "LineString":
+            np.testing.assert_array_equal(_np(got[1]), _np(ref[1]))
+        elif got[0] == "MultiPolygon":
+            for gp, rp in zip(got[1], ref[1]):
+                for gr, rr in zip(gp, rp):
+                    np.testing.assert_array_equal(_np(gr), _np(rr))
+        else:
+            for gr, rr in zip(got[1], ref[1]):
+                np.testing.assert_array_equal(_np(gr), _np(rr))
+
+
+def test_ring_soa_encode_matches_wkb_transport():
+    """A polygon group shipped as ring-SoA columns encodes to the same
+    layer bytes as the identical group shipped as WKB."""
+    import pandas as pd
+    from tegola_spark.functions import wkb
+
+    ring = np.array([[-20.0, -10.0], [30.0, -10.0], [30.0, 25.0],
+                     [-20.0, 25.0], [-20.0, -10.0]])
+    g = ("Polygon", [ring])
+    base = {"z": [1], "x": [0], "y": [0], "layer": ["l"],
+            "feature_id": [7], "tag_name": ["A"]}
+    via_wkb = pipeline.encode_bucket(pd.DataFrame(
+        {**base, "geom": [wkb.encode(g)]}))
+    via_soa = pipeline.encode_bucket(pd.DataFrame(
+        {**base, "coords": [ring.ravel().tolist()], "ring_lens": [[5]],
+         "poly_lens": [[1]], "gkind": [wkb.WKB_POLYGON]}))
+    assert bytes(via_wkb.iloc[0]["layer_bytes"]) == \
+        bytes(via_soa.iloc[0]["layer_bytes"])
+    assert via_wkb.iloc[0]["n_features"] == via_soa.iloc[0]["n_features"]
