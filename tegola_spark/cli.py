@@ -50,6 +50,15 @@ def build_parser() -> argparse.ArgumentParser:
                       help="'auto', an int budget, or 'none'")
     seed.add_argument("--overwrite", action="store_true",
                       help="purge the sink before seeding")
+    seed.add_argument("--tile-list", default=None,
+                      help="file of z/x/y tile names: render ONLY these "
+                           "tiles, expanded across the zoom range unless "
+                           "--tile-list-explicit (the reference's `cache "
+                           "seed tile-list` mode, cmd/tegola/cmd/cache/"
+                           "tile_list.go)")
+    seed.add_argument("--tile-list-explicit", action="store_true",
+                      help="render listed tiles exactly as given, no "
+                           "zoom expansion")
     return p
 
 
@@ -72,13 +81,30 @@ def cmd_seed(args, spark=None) -> int:
     elif cap != "auto":
         cap = int(cap)
 
+    tile_filter = None
+    if args.tile_list:
+        from .operators import tiling
+
+        # the listed-tile work set is built ONCE (distributed span
+        # expansion); per-batch semi-joins prune to each batch's zooms
+        tile_filter = tiling.tile_list_from_file(
+            spark, args.tile_list, zooms,
+            explicit=args.tile_list_explicit).cache()
+
     recs = []
     for i in range(0, len(zooms), args.batch_zooms):
         batch = zooms[i:i + args.batch_zooms]
-        build = (pipeline.build_tiles_hierarchical if args.hierarchical
+        # tile-list mode pins the standard build: the hierarchical
+        # anchor kernel derives every descendant, which wastes work
+        # when only a listed subset is wanted
+        build = (pipeline.build_tiles_hierarchical
+                 if args.hierarchical and tile_filter is None
                  else pipeline.build_tiles)
         kwargs = {"max_features_per_tile": cap}
-        if args.hierarchical and args.anchor_z is not None:
+        if tile_filter is not None:
+            kwargs["tile_filter"] = tile_filter
+        if build is pipeline.build_tiles_hierarchical \
+                and args.anchor_z is not None:
             kwargs["anchor_z"] = args.anchor_z
         metrics, tiles = build(spark, args.input, zooms=batch, **kwargs)
         from pyspark.sql import functions as F
