@@ -110,7 +110,12 @@ def run_bench(sf_dir: str, cpus: int, zooms=range(0, 6), scale_mult: int = 1) ->
     def tile_pipeline():
         build = (pipeline.build_tiles_hierarchical if hierarchical
                  else pipeline.build_tiles)
-        metrics, tiles = build(spark, sf_dir, zooms=list(zooms), docs=docs)
+        kw = {}
+        anchor_env = os.environ.get("SPARK_GRAFT_ANCHOR_Z")
+        if hierarchical and anchor_env:
+            kw["anchor_z"] = int(anchor_env)
+        metrics, tiles = build(spark, sf_dir, zooms=list(zooms), docs=docs,
+                               **kw)
         row = tiles.agg(F.count("*"), F.sum("tile_len"), F.sum("n_features")).first()
         n_tiles["tiles"] = row[0]
         n_tiles["bytes"] = row[1]
