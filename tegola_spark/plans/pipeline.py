@@ -33,6 +33,7 @@ histograms (provider/postgis/postgis.go:110-138).
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -680,7 +681,8 @@ def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
                           simplify: bool, repair: bool,
                           caps: dict | None = None,
                           polys: pd.DataFrame | None = None,
-                          layer_zoom: dict | None = None) -> pd.DataFrame:
+                          layer_zoom: dict | None = None,
+                          emit_tiles: bool = True) -> pd.DataFrame:
     """Grouped-map kernel over anchor-tile buckets: derive every
     descendant (z, x, y) membership for z in ``zooms_hi`` locally (pure
     NumPy — the same spherical world-coord + 3x3 buffered-duplication
@@ -825,6 +827,11 @@ def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
                     tile_metrics.append(_encode_one(
                         sub, time.perf_counter(), z, tx, ty, name,
                         simplify=simplify, repair=repair))
+                if not emit_tiles:
+                    # unfused mode: metric rows only (blobs included —
+                    # the assemble exchange groups them downstream)
+                    rows.extend(tile_metrics)
+                    continue
                 # in-place assembly: byte concat in layer-name order
                 # (identical to assemble_tiles' array_sort concat)
                 tile_metrics.sort(key=lambda m: m["layer"])
@@ -842,6 +849,8 @@ def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
                     "tile_bytes": tb, "n_layers": len(tile_metrics),
                     "tile_len": len(tb),
                 })
+    if not emit_tiles:
+        return pd.DataFrame(rows, columns=_METRIC_COLS)
     return pd.DataFrame(rows, columns=_FUSED_COLS)
 
 
@@ -850,7 +859,8 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
                              docs=None, with_polygons: bool = True,
                              simplify: bool = False,
                              repair_polygons: bool = True,
-                             max_features_per_tile="auto"
+                             max_features_per_tile="auto",
+                             fused: bool | None = None
                              ) -> tuple[DataFrame, DataFrame]:
     """Single-shuffle tile build for deep zooms: the standard
     build_tiles fans the POINT corpus out once per zoom (|zooms| full
@@ -876,15 +886,36 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
                            repair_polygons=repair_polygons,
                            max_features_per_tile=max_features_per_tile)
 
-    # standard path covers the low zooms COMPLETELY (points + polygons
-    # + assemble); every deep zoom — polygon layers included — is fused
-    # into the anchor kernel below
+    # Fused in-kernel assembly pays a fixed python cost (polygon
+    # membership + per-tile assembly) that is repaid only when the
+    # descendant fan-out is deep enough for the assemble exchange to
+    # dominate: measured at mult=600, dz=6 the fused plan wins (163-171s
+    # vs 184-198s at 32 cores, 490 vs 795 shuffle B/tile), while at the
+    # shallow driver config (dz=1) it LOSES ~5s of fixed overhead on a
+    # ~9s pipeline. Auto default: fuse when the deep fan-out spans >= 3
+    # levels (>= 64 descendants per anchor). SPARK_GRAFT_FUSED_ASSEMBLY
+    # overrides.
+    if fused is None:
+        env = os.environ.get("SPARK_GRAFT_FUSED_ASSEMBLY")
+        if env is not None:
+            fused = env == "1"
+        else:
+            fused = (max(zooms_hi) - anchor_z) >= 3
+
+    # standard path: with fusion it covers the low zooms COMPLETELY
+    # (points + polygons + assemble) and every deep zoom runs in the
+    # anchor kernel; without fusion it additionally carries the polygon
+    # layers at ALL zooms (the anchor kernel is then points-only and
+    # tiles assemble via the grouped concat)
     std_metrics = std_tiles = None
-    if zooms_lo:
+    if zooms_lo or (with_polygons and not fused):
+        std_zooms = zooms_lo if fused else zooms
         std_metrics, std_tiles = build_tiles(
-            spark, sf_dir, zooms_lo, docs=docs, with_polygons=with_polygons,
+            spark, sf_dir, std_zooms, docs=docs,
+            with_polygons=with_polygons,
             simplify=simplify, repair_polygons=repair_polygons,
-            max_features_per_tile=max_features_per_tile)
+            max_features_per_tile=max_features_per_tile,
+            point_zooms=zooms_lo)
 
     # hierarchical path: ONE anchor shuffle for all deep point zooms,
     # carrying only the point stream's live columns (z is the constant
@@ -893,12 +924,12 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
     anchored = tiling.assign_point_tiles(pts, [anchor_z]).select(
         "x", "y", "feature_id", "lon", "lat", "tag_url", "tag_lang")
 
-    # polygon layers are layer-catalog-sized: collect once and ship in
-    # the kernel closure (the broadcast-small-dim move), plus skeleton
-    # anchor keys so polygon-only anchors (a nation with no pages in
-    # range) still produce their deep tiles
+    # fused: polygon layers are layer-catalog-sized — collect once and
+    # ship in the kernel closure (the broadcast-small-dim move), plus
+    # skeleton anchor keys so polygon-only anchors (a nation with no
+    # pages in range) still produce their deep tiles
     polys_pd = layer_zoom = None
-    if with_polygons:
+    if with_polygons and fused:
         pf = polygon_features(spark, sf_dir)
         polys_pd = pf.toPandas()
         layer_zoom = {r["layer"]: (r["min_zoom"], r["max_zoom"])
@@ -924,20 +955,28 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
     else:
         caps = None
 
-    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_anchor_bucket(pdf, anchor_z, zooms_hi,
-                                     simplify, repair_polygons, caps=caps,
-                                     polys=polys_pd, layer_zoom=layer_zoom)
+    def _make_encode(emit_tiles):
+        def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _encode_anchor_bucket(
+                pdf, anchor_z, zooms_hi, simplify, repair_polygons,
+                caps=caps, polys=polys_pd, layer_zoom=layer_zoom,
+                emit_tiles=emit_tiles)
+        return _encode
 
-    fused = (
-        anchored.withColumn(
-            "_bucket", F.pmod(F.hash("x", "y"), F.lit(n_buckets)))
+    bucketed = anchored.withColumn(
+        "_bucket", F.pmod(F.hash("x", "y"), F.lit(n_buckets))) \
         .groupBy("_bucket")
-        .applyInPandas(_encode, FUSED_SCHEMA)
-    )
-    hier_metrics = fused.where(F.col("layer").isNotNull()) \
+    if not fused:
+        hier_metrics = bucketed.applyInPandas(
+            _make_encode(False), ENCODE_SCHEMA)
+        metrics = hier_metrics if std_metrics is None \
+            else std_metrics.unionByName(hier_metrics)
+        return metrics, assemble_tiles(metrics)
+
+    out = bucketed.applyInPandas(_make_encode(True), FUSED_SCHEMA)
+    hier_metrics = out.where(F.col("layer").isNotNull()) \
         .select(*_METRIC_COLS)
-    hier_tiles = fused.where(F.col("layer").isNull()).select(
+    hier_tiles = out.where(F.col("layer").isNull()).select(
         "z", "x", "y", "tile_bytes", "n_features", "n_layers", "tile_len")
     metrics = hier_metrics if std_metrics is None \
         else std_metrics.unionByName(hier_metrics)

@@ -176,17 +176,22 @@ def test_feature_cap_auto_default_no_effect_at_test_scale(spark, sf_dir):
 
 def test_hierarchical_build_byte_identical(spark, sf_dir):
     """build_tiles_hierarchical (one anchor shuffle for deep point
-    zooms) must produce byte-identical tiles to the per-zoom fan-out."""
+    zooms) must produce byte-identical tiles to the per-zoom fan-out —
+    in BOTH assembly modes (auto picks unfused at this shallow depth;
+    fused=True forces the in-kernel assembly path)."""
     zooms = [0, 1, 2, 3, 4, 5]
     _, std = pipeline.build_tiles(spark, sf_dir, zooms=zooms)
-    _, hier = pipeline.build_tiles_hierarchical(spark, sf_dir, zooms=zooms)
     a = {(r["z"], r["x"], r["y"]): bytes(r["tile_bytes"])
          for r in std.collect()}
-    b = {(r["z"], r["x"], r["y"]): bytes(r["tile_bytes"])
-         for r in hier.collect()}
-    assert set(a) == set(b)
-    diff = [k for k in a if a[k] != b[k]]
-    assert diff == [], f"{len(diff)} tiles differ, e.g. {diff[:5]}"
+    for fused in (None, True):
+        _, hier = pipeline.build_tiles_hierarchical(
+            spark, sf_dir, zooms=zooms, fused=fused)
+        b = {(r["z"], r["x"], r["y"]): bytes(r["tile_bytes"])
+             for r in hier.collect()}
+        assert set(a) == set(b), f"fused={fused}"
+        diff = [k for k in a if a[k] != b[k]]
+        assert diff == [], \
+            f"fused={fused}: {len(diff)} tiles differ, e.g. {diff[:5]}"
 
 
 def test_hierarchical_cap_enforced(spark, sf_dir):
