@@ -68,6 +68,8 @@ def run_bench(sf_dir: str, cpus: int, zooms=range(0, 6), scale_mult: int = 1) ->
     # ADDS time, so min(samples) estimates the true cost
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
+    medians: dict[str, float] = {}
+
     def timed(name: str, fn):
         if only and name not in only:
             return None
@@ -78,6 +80,10 @@ def run_bench(sf_dir: str, cpus: int, zooms=range(0, 6), scale_mult: int = 1) ->
             out = fn()
             samples.append(round(time.perf_counter() - t0, 3))
         timings[name] = min(samples)
+        # median alongside min (round-4 review): min is the floor
+        # estimate on a noisy host, median the typical run — publishing
+        # both lets round-over-round deltas be read either way
+        medians[name] = round(sorted(samples)[len(samples) // 2], 3)
         spreads[name] = samples
         return out
 
@@ -160,6 +166,8 @@ def run_bench(sf_dir: str, cpus: int, zooms=range(0, 6), scale_mult: int = 1) ->
         "cpus": cpus,
         "scale_mult": scale_mult,
         "bench_reps": reps,
+        "queries_median": medians,
+        "value_median": round(sum(medians.values()), 3),
         "query_spread": spreads,
         "tiles_per_sec": tiles_per_sec,
         "n_tiles": int(n_tiles.get("tiles", 0)),

@@ -529,6 +529,17 @@ def merge_default_tags(feats: DataFrame, default_tags: dict) -> DataFrame:
 CAP_LOW_ZOOM = 65536     # z <= 4
 CAP_HIGH_ZOOM = 1048576  # z >= 5 safety net (skewed hot tiles)
 
+# fused-assembly polygon budget: above this many polygon features the
+# broadcast + in-kernel membership stops being a small-dim move and the
+# hierarchical build falls back to the unfused (distributed fan-out)
+# plan. Env override for deployments with bigger executors.
+FUSED_MAX_POLYS = 100_000
+
+
+def fused_max_polys() -> int:
+    env = os.environ.get("SPARK_GRAFT_FUSED_MAX_POLYS")
+    return int(env) if env else FUSED_MAX_POLYS
+
 
 def assemble_tiles(metrics: DataFrame) -> DataFrame:
     """Tile assembly: byte concat in deterministic layer-name order
@@ -670,6 +681,43 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
     return metrics, assemble_tiles(metrics)
 
 
+# URL-prefix dictionary cap: above this many distinct prefixes the
+# transport optimization is off (ships raw strings) — the dictionary
+# must stay model-sized for the broadcast + driver collect to be sane.
+URL_DICT_MAX = 65536
+
+
+def _dict_encode_url(spark: SparkSession, pts: DataFrame):
+    """Dictionary-encode ``tag_url`` for the anchor exchange (round-5
+    shuffle-byte cut): URLs share a small set of scheme/host/path
+    prefixes, so the dominant shuffle ships a small int (``_upid``) plus
+    the short final path segment (``_usfx``) instead of the full string;
+    the anchor kernel reconstructs the exact bytes from the broadcast
+    prefix table. Returns (pts', broadcast[list[str]]) or (pts, None)
+    when disabled / prefix cardinality exceeds URL_DICT_MAX / any url
+    is NULL (nulls would need a sentinel; the corpus never has them)."""
+    if "tag_url" not in pts.columns or \
+            os.environ.get("SPARK_GRAFT_URL_DICT", "1") != "1":
+        return pts, None
+    pfx = F.expr("substring(tag_url, 1, length(tag_url) - "
+                 "length(substring_index(tag_url, '/', -1)))")
+    distinct = [r[0] for r in
+                pts.select(pfx.alias("_p")).distinct()
+                   .limit(URL_DICT_MAX + 1).collect()]
+    if len(distinct) > URL_DICT_MAX or any(p is None for p in distinct):
+        return pts, None
+    distinct.sort()
+    dim = spark.createDataFrame(
+        [(p, i) for i, p in enumerate(distinct)], "_p string, _upid int")
+    out = (
+        pts.withColumn("_p", pfx)
+        .withColumn("_usfx", F.expr("substring_index(tag_url, '/', -1)"))
+        .join(F.broadcast(dim), "_p", "left")
+        .drop("_p", "tag_url")
+    )
+    return out, spark.sparkContext.broadcast(distinct)
+
+
 # fused anchor-kernel output: metric rows (layer set) + assembled tile
 # rows (layer NULL) in one schema, split by filter afterwards
 _FUSED_COLS = _METRIC_COLS + ["tile_bytes", "n_layers", "tile_len"]
@@ -682,7 +730,8 @@ def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
                           caps: dict | None = None,
                           polys: pd.DataFrame | None = None,
                           layer_zoom: dict | None = None,
-                          emit_tiles: bool = True) -> pd.DataFrame:
+                          emit_tiles: bool = True,
+                          url_prefixes=None) -> pd.DataFrame:
     """Grouped-map kernel over anchor-tile buckets: derive every
     descendant (z, x, y) membership for z in ``zooms_hi`` locally (pure
     NumPy — the same spherical world-coord + 3x3 buffered-duplication
@@ -704,6 +753,23 @@ def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
     layer_bytes omitted) plus one assembled tile row per (z, x, y)
     (layer NULL, tile_bytes set), byte-identical to
     assemble_tiles(build_tiles(...)) by differential test."""
+    # undo the URL-prefix dictionary transport: rebuild the exact
+    # tag_url strings from the broadcast prefix table, re-inserting the
+    # column at its original position so MVT tag-key first-appearance
+    # order (column order) is byte-identical to the raw-string path
+    if url_prefixes is not None and "_upid" in pdf.columns:
+        arr = np.asarray(url_prefixes, dtype=object)
+        pid = pdf["_upid"].to_numpy()
+        sfx = pdf["_usfx"].to_numpy(dtype=object)
+        mask = pd.notna(pid)
+        url = np.full(len(pdf), None, dtype=object)
+        if mask.any():
+            url[mask] = arr[pid[mask].astype(np.int64)] + sfx[mask]
+        pdf = pdf.drop(columns=["_upid", "_usfx"])
+        pos = pdf.columns.get_loc("tag_lang") if "tag_lang" in pdf.columns \
+            else len(pdf.columns)
+        pdf.insert(pos, "tag_url", url)
+
     rows = []
     buf = tiling.BUFFER_FRAC
     # polygon closure split per layer in name order (assembly sorts by
@@ -794,11 +860,36 @@ def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
                     x1 = np.minimum(np.minimum(x1, n - 1), ax1)
                     y0 = np.maximum(np.maximum(y0, 0), ay0)
                     y1 = np.minimum(np.minimum(y1, n - 1), ay1)
-                    for i in np.nonzero((x0 <= x1) & (y0 <= y1))[0]:
-                        for tx in range(int(x0[i]), int(x1[i]) + 1):
-                            for ty in range(int(y0[i]), int(y1[i]) + 1):
-                                poly_tiles.setdefault((tx, ty), {}) \
-                                    .setdefault(name, []).append(int(i))
+                    # (feature, tile) expansion fully in NumPy (round-4
+                    # review: the nested setdefault loop was the kernel's
+                    # serial term as layer catalogs grow): repeat each
+                    # feature index over its span, enumerate tx-major /
+                    # ty-minor offsets arithmetically, then one stable
+                    # sort groups by tile while preserving ascending
+                    # feature order within each tile — identical lists
+                    # to the old triple loop.
+                    ok = np.nonzero((x0 <= x1) & (y0 <= y1))[0]
+                    if not len(ok):
+                        continue
+                    w = x1[ok] - x0[ok] + 1
+                    h = y1[ok] - y0[ok] + 1
+                    cnt = w * h
+                    fidx = np.repeat(ok, cnt)
+                    off = np.arange(int(cnt.sum()), dtype=np.int64) \
+                        - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                    hrep = np.repeat(h, cnt)
+                    txs = np.repeat(x0[ok], cnt) + off // hrep
+                    tys = np.repeat(y0[ok], cnt) + off % hrep
+                    key = txs * (2 * n) + tys
+                    order = np.argsort(key, kind="stable")
+                    uk, starts = np.unique(key[order], return_index=True)
+                    fo = fidx[order]
+                    for j, k0 in enumerate(uk):
+                        s = starts[j]
+                        e = starts[j + 1] if j + 1 < len(uk) else len(fo)
+                        tkey = (int(k0 // (2 * n)), int(k0 % (2 * n)))
+                        poly_tiles.setdefault(tkey, {})[name] = \
+                            fo[s:e].tolist()
 
             for key in sorted(set(pt_groups) | set(poly_tiles)):
                 tx, ty = key
@@ -902,6 +993,18 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
         else:
             fused = (max(zooms_hi) - anchor_z) >= 3
 
+    # Fused assembly ships the polygon layers to every anchor kernel as
+    # a Spark BROADCAST (torrent-distributed once per executor). That is
+    # the broadcast-small-dim move and is only sane while the layer set
+    # is dim-sized: above the guard the kernel-side membership work and
+    # broadcast memory would scale with polygon count, so fall back to
+    # the unfused plan where polygons take the distributed bbox fan-out
+    # (byte-identical output, differentially tested).
+    if fused and with_polygons:
+        n_polys = polygon_features(spark, sf_dir).count()
+        if n_polys > fused_max_polys():
+            fused = False
+
     # standard path: with fusion it covers the low zooms COMPLETELY
     # (points + polygons + assemble) and every deep zoom runs in the
     # anchor kernel; without fusion it additionally carries the polygon
@@ -919,26 +1022,33 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
 
     # hierarchical path: ONE anchor shuffle for all deep point zooms,
     # carrying only the point stream's live columns (z is the constant
-    # anchor level, so it does not ship either)
+    # anchor level, so it does not ship either). tag_url crosses the
+    # exchange dictionary-encoded (int prefix id + short suffix).
     pts = point_features(spark, sf_dir, docs=docs)
+    pts, upfx_bc = _dict_encode_url(spark, pts)
+    point_cols = ["feature_id", "lon", "lat"] + \
+        (["_upid", "_usfx"] if upfx_bc is not None else ["tag_url"]) + \
+        ["tag_lang"]
     anchored = tiling.assign_point_tiles(pts, [anchor_z]).select(
-        "x", "y", "feature_id", "lon", "lat", "tag_url", "tag_lang")
+        "x", "y", *point_cols)
 
     # fused: polygon layers are layer-catalog-sized — collect once and
-    # ship in the kernel closure (the broadcast-small-dim move), plus
-    # skeleton anchor keys so polygon-only anchors (a nation with no
-    # pages in range) still produce their deep tiles
-    polys_pd = layer_zoom = None
+    # ship via sparkContext.broadcast (torrent-distributed, NOT pickled
+    # into every task closure — round-4 review item; the fused_max_polys
+    # guard above bounds its size), plus skeleton anchor keys so
+    # polygon-only anchors (a nation with no pages in range) still
+    # produce their deep tiles
+    polys_bc = layer_zoom = None
     if with_polygons and fused:
         pf = polygon_features(spark, sf_dir)
-        polys_pd = pf.toPandas()
+        polys_bc = spark.sparkContext.broadcast(pf.toPandas())
         layer_zoom = {r["layer"]: (r["min_zoom"], r["max_zoom"])
                       for r in layers.layer_catalog(spark).collect()}
-        nulls = [F.lit(None).cast("long").alias("feature_id"),
-                 F.lit(None).cast("double").alias("lon"),
-                 F.lit(None).cast("double").alias("lat"),
-                 F.lit(None).cast("string").alias("tag_url"),
-                 F.lit(None).cast("string").alias("tag_lang")]
+        _null_types = {"feature_id": "long", "lon": "double",
+                       "lat": "double", "_upid": "int", "_usfx": "string",
+                       "tag_url": "string", "tag_lang": "string"}
+        nulls = [F.lit(None).cast(_null_types[c]).alias(c)
+                 for c in point_cols]
         skel = (tiling.assign_bbox_tiles(pf, [anchor_z])
                 .select("x", "y").distinct().select("x", "y", *nulls))
         anchored = anchored.unionByName(skel)
@@ -956,11 +1066,15 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
         caps = None
 
     def _make_encode(emit_tiles):
+        bc = polys_bc    # broadcast handles in the closure,
+        ubc = upfx_bc    # data lives on the executors
+
         def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
             return _encode_anchor_bucket(
                 pdf, anchor_z, zooms_hi, simplify, repair_polygons,
-                caps=caps, polys=polys_pd, layer_zoom=layer_zoom,
-                emit_tiles=emit_tiles)
+                caps=caps, polys=None if bc is None else bc.value,
+                layer_zoom=layer_zoom, emit_tiles=emit_tiles,
+                url_prefixes=None if ubc is None else ubc.value)
         return _encode
 
     bucketed = anchored.withColumn(
