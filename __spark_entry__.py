@@ -236,6 +236,46 @@ def q_mvt_tiles_hier(spark, sf_dir):
         F.md5("tile_bytes").alias("tile_md5"))
 
 
+def q_mvt_point_counts(spark, sf_dir):
+    """The FLAGSHIP tile pipeline under the HARD oracle (round-4
+    VERDICT item 1): per-(z, x, y) kept/dropped feature counts of the
+    pages point layer from the REAL distributed build — hierarchical
+    anchor path (fused in-kernel assembly, deep span 3 levels) for
+    z >= 2, standard per-zoom fan-out below. DuckDB recomputes every
+    count from first principles: spherical world-coord fan-out with the
+    3x3 buffered-duplication predicate (tile.go buffered extents),
+    ellipsoidal WGS84->3857 projection of each point
+    (maths/webmercator/main.go:57-68), spherical tile extents composed
+    through tile2lat (slippy/maths.go:149-153), pixel quantization with
+    Y flip, and the [-64, 4160] buffered clip keep-test
+    (tile.go:104-107). Semantics anchored to atlas/map_test.go:210-455."""
+    from tegola_spark.plans import pipeline
+
+    metrics, _ = pipeline.build_tiles_hierarchical(
+        spark, sf_dir, zooms=[0, 1, 2, 3, 4, 5], anchor_z=2)
+    return metrics.where(F.col("layer") == "pages").select(
+        "z", "x", "y", "n_features", "n_dropped")
+
+
+def q_mvt_line_counts(spark, sf_dir):
+    """LineString family end-to-end on the distributed path (round-4
+    VERDICT item 6): the roads layer (one diagonal segment per nation
+    rect) through bbox fan-out -> ellipsoidal reproject -> quantize ->
+    the ported G2 clip walk (maths/clip/clip.go:50-122) -> encode; the
+    oracle replays the keep-decision exactly — a segment survives iff
+    an endpoint lies in the buffered clip box (inclusive,
+    bbox.go:268-275) or it crosses it with >= 2 distinct edge
+    intersections computed by the reference's slope-intercept forms
+    (maths/maths.go:160-235, maths/points/points.go:45-57)."""
+    from tegola_spark.plans import pipeline
+
+    metrics, _ = pipeline.build_tiles(
+        spark, sf_dir, zooms=[0, 1, 2, 3, 4, 5], with_polygons=False,
+        with_roads=True, point_zooms=[])
+    return metrics.where(F.col("layer") == "roads").select(
+        "z", "x", "y", "n_features", "n_dropped")
+
+
 def q_dedup_exact(spark, sf_dir):
     from tegola_spark.operators import dedup
     from tegola_spark.sources import corpus
@@ -578,35 +618,38 @@ def q_event_sessions(spark, sf_dir):
 
 
 def q_similarity_ivf(spark, sf_dir):
-    """IVF coarse-quantizer ANN (deterministic k-means cells, nprobe
-    probing, exact re-rank within probed cells) — rows-only like the
-    LSH variant; recall vs brute force asserted in tests."""
+    """IVF coarse-quantizer ANN, HASH-CHECKED end-to-end (round-4
+    VERDICT item 4): fixed quantizer = the 16 lowest-id vectors (zero
+    Lloyd iterations), sequential-fold distances, ties on centroid
+    rank — DuckDB replays centroids, cell assignment, nprobe probing
+    and the exact cosine re-rank bit-for-bit. The Lloyd-trained
+    variant (similarity.ivf_ann_topk) remains the throughput path,
+    recall-tested in tests/."""
     from tegola_spark.operators import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = emb.select(F.size("embedding")).first()[0]
-    return similarity.ivf_ann_topk(emb, SIM_QUERY_IDS, k=5, dim=dim,
-                                   n_centroids=16, nprobe=4)
+    return similarity.ivf_fixed_ann_topk(emb, SIM_QUERY_IDS, k=5,
+                                         n_centroids=16, nprobe=4)
 
 
 def q_similarity_ivf_batch(spark, sf_dir):
-    """Large-query-set IVF ANN (the per-document near-neighbor workload):
-    every embedding plus a perturbed twin as queries (|Q| = 2 x n_vecs,
-    >= 1000 at sf0.01), fully DataFrame-native — probe cells are computed
-    in a vectorized map pass and nothing per-query reaches the driver
-    (mirrors knn_pages; round-2 review item)."""
+    """Large-query-set IVF ANN (the per-document near-neighbor
+    workload): every embedding plus a perturbed twin as queries
+    (|Q| = 2 x n_vecs, >= 1000 at sf0.01), fully DataFrame-native —
+    probe cells via the same fixed-quantizer rank expressions, so the
+    whole batch pipeline is under the hard oracle too."""
     from tegola_spark.operators import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = emb.select(F.size("embedding")).first()[0]
-    q1 = emb.select(F.col("vec_id").alias("query_id"),
-                    F.col("embedding").alias("qemb"))
+    q1 = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("qemb"))
     q2 = emb.select(
         (F.col("vec_id") + F.lit(10_000_000)).alias("query_id"),
         F.transform("embedding",
-                    lambda v: v + F.lit(0.01)).alias("qemb"))
-    return similarity.ivf_ann_topk_df(emb, q1.unionByName(q2), k=5, dim=dim,
-                                      n_centroids=16, nprobe=4)
+                    lambda v: v.cast("double") + F.lit(0.01)).alias("qemb"))
+    return similarity.ivf_fixed_ann_topk_df(
+        emb, q1.unionByName(q2), k=5, n_centroids=16, nprobe=4)
 
 
 def q_raster_rollup(spark, sf_dir):
@@ -670,6 +713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_tiles": q_mvt_tiles,
         "mvt_layer_metrics": q_mvt_layer_metrics,
         "mvt_tiles_hier": q_mvt_tiles_hier,
+        "mvt_point_counts": q_mvt_point_counts,
+        "mvt_line_counts": q_mvt_line_counts,
         "dedup_exact": q_dedup_exact,
         "dedup_norm": q_dedup_norm,
         "token_stats": q_token_stats,
@@ -778,7 +823,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zoom_prune": """
             WITH cat(layer, min_zoom, max_zoom) AS (
-              VALUES ('pages', 0, 22), ('nations', 0, 22), ('regions', 0, 6))
+              VALUES ('pages', 0, 22), ('nations', 0, 22), ('regions', 0, 6),
+                     ('roads', 0, 22))
             SELECT CAST(z AS INTEGER) AS z, layer
             FROM cat, generate_series(0, 8) t(z)
             WHERE z >= min_zoom AND z <= max_zoom
@@ -1054,11 +1100,306 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings"),
         "minhash_pairs": _TRIGRAM_JACCARD_SQL,
         "simhash_portable": _simhash_portable_oracle(),
-        # mvt_tiles / mvt_layer_metrics / similarity_ivf(_batch) /
+        "mvt_point_counts": _mvt_point_counts_oracle(range(0, 6)),
+        "mvt_line_counts": _mvt_line_counts_oracle(range(0, 6)),
+        "similarity_ivf": _ivf_fixed_oracle(
+            5, 16, 4,
+            "SELECT vec_id AS query_id, embedding AS qemb FROM embeddings "
+            f"WHERE vec_id IN ({','.join(map(str, SIM_QUERY_IDS))})"),
+        "similarity_ivf_batch": _ivf_fixed_oracle(
+            5, 16, 4,
+            "SELECT vec_id AS query_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qemb "
+            "FROM embeddings "
+            "UNION ALL "
+            "SELECT vec_id + 10000000 AS query_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01) AS qemb "
+            "FROM embeddings"),
+        # mvt_tiles / mvt_layer_metrics / mvt_tiles_hier /
         # simhash_fingerprints / multimodal_decode: no SQL equivalent
-        # (binary encode, data-dependent k-means centroids, blake2b
-        # hashes, stub decode) -> rows-only.
+        # (binary tile encode, blake2b hashes, stub decode) ->
+        # rows-only. The pipeline's counts ARE hash-checked via
+        # mvt_point_counts / mvt_line_counts above.
     }
+
+
+# ---------------------------------------------------------------------------
+# MVT pipeline oracle builders (round-5): DuckDB recomputes the tile
+# pipeline's keep/drop decisions from first principles. Every fragment
+# replicates the EXACT float operation order of the engine code it
+# mirrors (associativity matters for bit-parity); constants are inlined
+# as shortest-round-trip reprs of the Python doubles.
+# ---------------------------------------------------------------------------
+
+_ECC = "0.08181919092890692"     # mercator.ECCENT
+_COM_E = "0.04090959546445346"   # mercator.COM
+_HALF_PI = "1.5707963267948966"  # math.pi * 0.5
+_DEG = "57.29577951308232"       # 180.0 / math.pi
+_QPI = "0.7853981633974483"      # math.pi / 4.0
+_TWO_PI = "6.283185307179586"    # 2.0 * math.pi
+_RAD = "0.017453292519943295"    # math.pi / 180.0
+_BUF = "0.015625"                # 64 / 4096
+
+
+def _ell_x_sql(lon: str) -> str:
+    """mercator.lon_to_x: R * ((lon * pi) / 180)."""
+    return f"(6378137.0 * ((({lon}) * pi()) / 180.0))"
+
+
+def _ell_y_sql(lat: str) -> str:
+    """mercator.lat_to_y (ellipsoidal, no clamp needed: corpus |lat| <
+    85): phi = (lat*pi)/180; con = ((1-e sin)/(1+e sin))^(e/2);
+    y = -R * ln(tan(0.5*(pi/2 - phi)) / con)."""
+    phi = f"((({lat}) * pi()) / 180.0)"
+    v = f"({_ECC} * sin({phi}))"
+    con = f"pow((1.0 - {v}) / (1.0 + {v}), {_COM_E})"
+    return (f"(0.0 - 6378137.0 * ln(tan(0.5 * ({_HALF_PI} - {phi}))"
+            f" / {con}))")
+
+
+def _wx_sql(lon: str, nd: str) -> str:
+    """tiling.col_world_x: ((lon + 180) / 360) * n."""
+    return f"(((({lon}) + 180.0) / 360.0) * {nd})"
+
+
+def _wy_sql(lat: str, nd: str) -> str:
+    """tiling.col_world_y: (0.5 - ln(tan(pi/4 + (lat*(pi/180))/2)) /
+    (2 pi)) * n."""
+    ymerc = f"ln(tan({_QPI} + (({lat}) * {_RAD}) / 2.0))"
+    return f"((0.5 - {ymerc} / {_TWO_PI}) * {nd})"
+
+
+def _tile_ext_sql(x: str, y: str, nd: str):
+    """grid.tile_extent_3857: spherical mercator of the tile corner
+    lon/lats composed through tile2lat_slippy — returns (minx, miny,
+    maxx, maxy) SQL."""
+    lon0 = f"((({x}) / {nd}) * 360.0 - 180.0)"
+    lon1 = f"(((({x}) + 1.0) / {nd}) * 360.0 - 180.0)"
+
+    def slat(yy):
+        nn = f"(pi() - (({_TWO_PI} * ({yy})) / {nd}))"
+        return f"({_DEG} * atan(0.5 * (exp({nn}) - exp(-({nn})))))"
+
+    lat_top = slat(y)
+    lat_bot = slat(f"(({y}) + 1.0)")
+
+    def mx(lon):
+        return f"(((6378137.0 * ({lon})) * pi()) / 180.0)"
+
+    def my(lat):
+        return f"(6378137.0 * ln(tan({_QPI} + ((({lat}) * pi()) / 360.0))))"
+
+    return mx(lon0), my(lat_bot), mx(lon1), my(lat_top)
+
+
+def _mvt_point_counts_oracle(zooms) -> str:
+    """Replays the pages layer of the tile pipeline at counts level:
+    spherical buffered fan-out (assign_point_tiles / the anchor
+    kernel's identical predicate), ellipsoidal projection, spherical
+    tile extents, pixel quantization + [-64, 4160] clip keep."""
+    zlist = ", ".join(map(str, zooms))
+    tminx, tminy, tmaxx, tmaxy = _tile_ext_sql(
+        "CAST(x AS DOUBLE)", "CAST(y AS DOUBLE)", "nd")
+    keep = (f"qx >= -64.0 AND qx <= 4160.0 "
+            f"AND qy >= -64.0 AND qy <= 4160.0")
+    return f"""
+        WITH p AS (
+          SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents
+        ), pr AS (
+          SELECT doc_id, lon, lat,
+                 {_ell_x_sql('lon')} AS px, {_ell_y_sql('lat')} AS py
+          FROM p
+        ), zs AS (
+          SELECT z, pow(2.0, z) AS nd
+          FROM (SELECT unnest([{zlist}]) AS z)
+        ), w AS (
+          SELECT doc_id, px, py, z, nd,
+                 {_wx_sql('lon', 'nd')} AS wx, {_wy_sql('lat', 'nd')} AS wy
+          FROM pr, zs
+        ), cand AS (
+          SELECT px, py, z, nd, wx, wy,
+                 CAST(floor(wx) AS BIGINT) + dx AS x,
+                 CAST(floor(wy) AS BIGINT) + dy AS y
+          FROM w,
+               (SELECT unnest([-1, 0, 1]) AS dx) dxs,
+               (SELECT unnest([-1, 0, 1]) AS dy) dys
+        ), assigned AS (
+          SELECT * FROM cand
+          WHERE x >= 0 AND x < CAST(nd AS BIGINT)
+            AND y >= 0 AND y < CAST(nd AS BIGINT)
+            AND wx >= CAST(x AS DOUBLE) - {_BUF}
+            AND wx <= CAST(x AS DOUBLE) + 1 + {_BUF}
+            AND wy >= CAST(y AS DOUBLE) - {_BUF}
+            AND wy <= CAST(y AS DOUBLE) + 1 + {_BUF}
+        ), q AS (
+          SELECT z, x, y,
+                 (px - {tminx}) / ({tmaxx} - {tminx}) * 4096.0 AS qx,
+                 ({tmaxy} - py) / ({tmaxy} - {tminy}) * 4096.0 AS qy
+          FROM assigned
+        )
+        SELECT CAST(z AS INTEGER) AS z, CAST(x AS BIGINT) AS x,
+               CAST(y AS BIGINT) AS y,
+               CAST(SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_features,
+               CAST(SUM(CASE WHEN {keep} THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_dropped
+        FROM q GROUP BY 1, 2, 3
+    """
+
+
+def _mvt_line_counts_oracle(zooms) -> str:
+    """Replays the roads LineString layer at counts level: bbox fan-out
+    (assign_bbox_tiles), ellipsoidal endpoint projection, quantization,
+    then the clip keep-decision — an endpoint inside the inclusive
+    buffered box, or >= 2 DISTINCT on-segment intersections with the
+    box edges computed by the reference's slope-intercept arithmetic
+    (maths/maths.go:160-235: vertical edge -> (ex, m*ex + c),
+    horizontal edge -> ((ey - c)/m, ey))."""
+    zlist = ", ".join(map(str, zooms))
+    tminx, tminy, tmaxx, tmaxy = _tile_ext_sql(
+        "CAST(x AS DOUBLE)", "CAST(y AS DOUBLE)", "nd")
+
+    def inbox(px, py):
+        return (f"({px} >= -64.0 AND {px} <= 4160.0 "
+                f"AND {py} >= -64.0 AND {py} <= 4160.0)")
+
+    # candidate intersection + validity per box edge: on the edge's
+    # inclusive bbox AND the segment's inclusive bbox (_in_between x2)
+    # dedup key: shortest-round-trip VARCHAR of the double pair —
+    # injective on doubles, so string equality == the reference's exact
+    # float equality (clip.go:25-48 skips a repeated intersection point)
+    def hcand(ey):  # horizontal edge y = ey
+        px = f"(({ey} - c) / m)"
+        v = (f"({px} >= -64.0 AND {px} <= 4160.0 "
+             f"AND least(qax, qbx) <= {px} AND {px} <= greatest(qax, qbx) "
+             f"AND least(qay, qby) <= {ey} AND {ey} <= greatest(qay, qby))")
+        return (f"CASE WHEN {v} THEN CAST({px} AS VARCHAR) || ',' || "
+                f"CAST({ey} AS VARCHAR) ELSE NULL END")
+
+    def vcand(ex):  # vertical edge x = ex
+        py = f"(m * {ex} + c)"
+        v = (f"({py} >= -64.0 AND {py} <= 4160.0 "
+             f"AND least(qax, qbx) <= {ex} AND {ex} <= greatest(qax, qbx) "
+             f"AND least(qay, qby) <= {py} AND {py} <= greatest(qay, qby))")
+        return (f"CASE WHEN {v} THEN CAST({ex} AS VARCHAR) || ',' || "
+                f"CAST({py} AS VARCHAR) ELSE NULL END")
+
+    cands = ", ".join([hcand("-64.0"), vcand("4160.0"),
+                       hcand("4160.0"), vcand("-64.0")])
+    kept = (f"CASE WHEN {inbox('qax', 'qay')} OR {inbox('qbx', 'qby')} "
+            f"THEN 1 WHEN len(list_distinct(list_filter([{cands}], "
+            f"e -> e IS NOT NULL))) >= 2 THEN 1 ELSE 0 END")
+    return f"""
+        WITH r AS (
+          SELECT CAST(n_nationkey AS BIGINT) AS fid,
+                 CAST((n_nationkey * 37) % 340 - 170 AS DOUBLE) + 0.3 AS ax,
+                 CAST((n_nationkey * 23) % 160 - 80 AS DOUBLE) + 0.2 AS ay,
+                 CAST((n_nationkey * 37) % 340 - 170 + 6 + n_nationkey % 7
+                      AS DOUBLE) - 0.3 AS bx,
+                 CAST((n_nationkey * 23) % 160 - 80 + 4 + n_nationkey % 5
+                      AS DOUBLE) - 0.2 AS by
+          FROM nation
+        ), pr AS (
+          SELECT fid, ax, ay, bx, by,
+                 {_ell_x_sql('ax')} AS pax, {_ell_y_sql('ay')} AS pay,
+                 {_ell_x_sql('bx')} AS pbx, {_ell_y_sql('by')} AS pby
+          FROM r
+        ), zs AS (
+          SELECT z, pow(2.0, z) AS nd
+          FROM (SELECT unnest([{zlist}]) AS z)
+        ), fan AS (
+          SELECT pr.*, zs.z, zs.nd,
+                 CAST(floor({_wx_sql('ax', 'nd')} - {_BUF}) AS BIGINT) AS x0,
+                 CAST(floor({_wx_sql('bx', 'nd')} + {_BUF}) AS BIGINT) AS x1,
+                 CAST(floor({_wy_sql('by', 'nd')} - {_BUF}) AS BIGINT) AS y0,
+                 CAST(floor({_wy_sql('ay', 'nd')} + {_BUF}) AS BIGINT) AS y1
+          FROM pr, zs
+        ), assigned AS (
+          SELECT f.*, gx.x AS x, gy.y AS y
+          FROM fan f, generate_series(0, 63) gx(x),
+               generate_series(0, 63) gy(y)
+          WHERE gx.x >= greatest(x0, 0)
+            AND gx.x <= least(x1, CAST(nd AS BIGINT) - 1)
+            AND gy.y >= greatest(y0, 0)
+            AND gy.y <= least(y1, CAST(nd AS BIGINT) - 1)
+        ), q AS (
+          SELECT fid, z, x, y,
+                 (pax - {tminx}) / ({tmaxx} - {tminx}) * 4096.0 AS qax,
+                 ({tmaxy} - pay) / ({tmaxy} - {tminy}) * 4096.0 AS qay,
+                 (pbx - {tminx}) / ({tmaxx} - {tminx}) * 4096.0 AS qbx,
+                 ({tmaxy} - pby) / ({tmaxy} - {tminy}) * 4096.0 AS qby
+          FROM assigned
+        ), qc AS (
+          SELECT fid, z, x, y, qax, qay, qbx, qby, m, qay - m * qax AS c
+          FROM (SELECT *, (qby - qay) / (qbx - qax) AS m FROM q)
+        ), k AS (
+          SELECT fid, z, x, y, {kept} AS kept FROM qc
+        )
+        SELECT CAST(z AS INTEGER) AS z, CAST(x AS BIGINT) AS x,
+               CAST(y AS BIGINT) AS y,
+               CAST(SUM(kept) AS BIGINT) AS n_features,
+               CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped
+        FROM k GROUP BY 1, 2, 3
+    """
+
+
+def _ivf_fixed_oracle(k: int, n_centroids: int, nprobe: int,
+                      query_sql: str) -> str:
+    """Replays similarity.ivf_fixed_ann_topk_df: fixed lowest-id
+    centroids, sequential-fold distances, rank ties on centroid index,
+    inverted equi-join, exact cosine re-rank."""
+    def dotseq(a, b):
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}), "
+                "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')")
+
+    return f"""
+        WITH cents0 AS (
+          SELECT vec_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT {n_centroids}
+        ), cents AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+                 embedding AS cemb,
+                 {dotseq('embedding', 'embedding')} AS dcc
+          FROM cents0
+        ), base AS (
+          SELECT vec_id AS nid, embedding AS nemb,
+                 {_l2_sql('embedding')} AS nnorm
+          FROM embeddings
+        ), assign AS (
+          SELECT nid, nemb, nnorm, cidx,
+                 row_number() OVER (PARTITION BY nid
+                     ORDER BY dcc - 2.0 * {dotseq('nemb', 'cemb')}, cidx)
+                     AS crk
+          FROM base, cents
+        ), inv AS (
+          SELECT nid, nemb, nnorm, cidx AS ncid FROM assign WHERE crk = 1
+        ), q AS ({query_sql}),
+        qn AS (
+          SELECT query_id, qemb, {_l2_sql('qemb')} AS qnorm FROM q
+        ), qa AS (
+          SELECT query_id, qemb, qnorm, cidx,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY dcc - 2.0 * {dotseq('qemb', 'cemb')}, cidx)
+                     AS crk
+          FROM qn, cents
+        ), probes AS (
+          SELECT query_id, qemb, qnorm, cidx AS ncid
+          FROM qa WHERE crk <= {nprobe}
+        ), cand AS (
+          SELECT p.query_id, b.nid AS neighbor_id,
+                 {dotseq('p.qemb', 'b.nemb')} / (p.qnorm * b.nnorm) AS score
+          FROM probes p JOIN inv b
+            ON b.ncid = p.ncid AND b.nid <> p.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rank
+          FROM cand
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               ROUND(score, 6) AS score_r6
+        FROM ranked WHERE rank <= {k}
+    """
 
 
 # ---------------------------------------------------------------------------

@@ -561,6 +561,7 @@ def assemble_tiles(metrics: DataFrame) -> DataFrame:
 def build_tiles(spark: SparkSession, sf_dir: str, zooms,
                 max_features_per_tile="auto",
                 with_polygons: bool = True, docs=None,
+                with_roads: bool = False,
                 with_debug: bool = False,
                 default_tags: dict | None = None,
                 simplify: bool = False,
@@ -602,10 +603,12 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
         pts = tiling.assign_point_tiles(
             point_features(spark, sf_dir, docs=docs), pzooms)
         streams.append((pts.select(*POINT_STREAM_COLS), "pages"))
-    if with_polygons:
+    cat = None
+    if with_polygons or with_roads:
         # zoom pruning from the layer catalog (P4) — regions capped at z<=6
         cat = {r["layer"]: (r["min_zoom"], r["max_zoom"])
                for r in layers.layer_catalog(spark).collect()}
+    if with_polygons:
         polys = tiling.assign_bbox_tiles(polygon_features(spark, sf_dir), zooms)
         cond = None
         for name, (lo, hi) in cat.items():
@@ -614,6 +617,17 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
         streams.append((polys.where(cond).select(
             "z", "x", "y", "layer", "feature_id", *POLY_SOA_COLS,
             "tag_name"), None))
+    if with_roads:
+        # LineString stream: same bbox fan-out + SoA transport as the
+        # polygon layers; the encode kernel routes gkind=LINESTRING
+        # through reproject -> quantize -> G2 clip walk -> E1-E4 emit
+        lo, hi = cat.get("roads", (0, grid.MAX_Z))
+        roads = tiling.assign_bbox_tiles(layers.road_layer(spark, sf_dir),
+                                         zooms)
+        streams.append((
+            roads.where((F.col("z") >= lo) & (F.col("z") <= hi)).select(
+                "z", "x", "y", "layer", "feature_id", *POLY_SOA_COLS,
+                F.col("name").alias("tag_name")), None))
 
     if with_debug:
         streams.append((debug_features(spark, zooms), None))

@@ -85,6 +85,37 @@ def region_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("geom", _rect_wkb("minx", "miny", "maxx", "maxy"))
 
 
+def road_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25 deterministic diagonal road segments, one per nation rect
+    (endpoints inset 0.3/0.2 deg from the rect corners so no endpoint
+    sits exactly on a rect or tile boundary) — the LineString family on
+    the distributed fan-out -> clip (G2) -> encode path, reference
+    analog the athens-osm road layers (provider/gpkg/gpkg_test.go:23-27).
+    Ships as ring-SoA columns like the polygon layers; the DuckDB
+    oracle reproduces the segment from the same integer arithmetic."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey").cast("long")
+    rminx = ((k * 37) % 340 - 170).cast("double")
+    rminy = ((k * 23) % 160 - 80).cast("double")
+    rmaxx = ((k * 37) % 340 - 170 + 6 + k % 7).cast("double")
+    rmaxy = ((k * 23) % 160 - 80 + 4 + k % 5).cast("double")
+    ax = rminx + F.lit(0.3)
+    ay = rminy + F.lit(0.2)
+    bx = rmaxx - F.lit(0.3)
+    by = rmaxy - F.lit(0.2)
+    return n.select(
+        k.alias("feature_id"),
+        F.lit("roads").alias("layer"),
+        F.col("n_name").alias("name"),
+        ax.alias("minx"), ay.alias("miny"),
+        bx.alias("maxx"), by.alias("maxy"),
+        F.array(ax, ay, bx, by).alias("coords"),
+        F.array(F.lit(2)).alias("ring_lens"),
+        F.lit(None).cast("array<int>").alias("poly_lens"),
+        F.lit(wkb.WKB_LINESTRING).alias("gkind"),
+    )
+
+
 def layer_catalog(spark: SparkSession) -> DataFrame:
     """F5 layer_config: zoom-validity + per-layer toggles
     (atlas/layer.go:10-30; zoom pruning atlas/map.go:147-161)."""
@@ -93,6 +124,7 @@ def layer_catalog(spark: SparkSession) -> DataFrame:
         ("default", "pages", "pages", 0, 22, False, False),
         ("default", "nations", "nation", 0, 22, False, False),
         ("default", "regions", "region", 0, 6, False, False),
+        ("default", "roads", "nation", 0, 22, False, False),
     ]
     return spark.createDataFrame(
         rows, "map_name string, layer string, source string, "

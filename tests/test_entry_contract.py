@@ -78,8 +78,8 @@ def test_every_query_declares_oracle_or_is_documented(entrymod):
     os_ = set(entrymod.oracle_sql())
     assert os_ <= qs
     rows_only = qs - os_
-    # rows-only set is intentional and bounded (binary/LSH/stub ops)
+    # rows-only set is intentional and bounded: binary tile blobs
+    # (their counts ARE oracled via mvt_point_counts/mvt_line_counts),
+    # blake2b fingerprints (portable twin oracled), stub media decode
     assert rows_only <= {"mvt_tiles", "mvt_tiles_hier", "mvt_layer_metrics",
-                         "similarity_ann", "similarity_ivf",
-                         "similarity_ivf_batch", "similarity_selfjoin", "minhash_pairs",
                          "simhash_fingerprints", "multimodal_decode"}

@@ -432,6 +432,23 @@ def test_ivf_deterministic_and_bounded_probe(emb):
     assert e == f
 
 
+def test_ivf_fixed_full_probe_is_exact(emb):
+    """The oracle-replayable fixed-quantizer IVF (round-5): probing
+    every cell must reproduce brute force exactly; bounded probing
+    returns k rows per query with no self-matches."""
+    qids = [0, 1, 2, 3]
+    exact = similarity.brute_force_topk(emb, qids, k=5)
+    full = similarity.ivf_fixed_ann_topk(emb, qids, k=5,
+                                         n_centroids=8, nprobe=8)
+    e = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in exact.collect()}
+    f = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in full.collect()}
+    assert e == f
+    part = similarity.ivf_fixed_ann_topk(emb, qids, k=5,
+                                         n_centroids=8, nprobe=2).collect()
+    assert len(part) == len(qids) * 5
+    assert all(r["neighbor_id"] != r["query_id"] for r in part)
+
+
 def test_sequential_signatures_match_blas(emb):
     """The sequential-fold signature (the oracle-checkable path) agrees
     with the BLAS batch path on the driver embeddings — same bits
