@@ -535,10 +535,108 @@ CAP_HIGH_ZOOM = 1048576  # z >= 5 safety net (skewed hot tiles)
 # plan. Env override for deployments with bigger executors.
 FUSED_MAX_POLYS = 100_000
 
+# expected point-fan-out rows (n_docs x |zooms|) above which the
+# single-exchange streaming encode beats the legacy two-exchange plan's
+# lower fixed overhead (A/B: driver config 5k docs -> legacy 7.1s vs
+# stream 10.0s; mult=600 deep config -> stream 180s vs legacy 210s and
+# 258 vs 418 B/tile)
+STREAM_ENCODE_MIN_ROWS = 1_000_000
+
 
 def fused_max_polys() -> int:
     env = os.environ.get("SPARK_GRAFT_FUSED_MAX_POLYS")
     return int(env) if env else FUSED_MAX_POLYS
+
+
+def _cap_rule(max_features_per_tile):
+    """Per-zoom feature budget as a python callable (picklable into
+    kernels): 'auto' -> zoom-scaled defaults, int -> fixed, falsy ->
+    None (no capping)."""
+    if max_features_per_tile == "auto":
+        return lambda z: CAP_LOW_ZOOM if z <= 4 else CAP_HIGH_ZOOM
+    if max_features_per_tile:
+        v = int(max_features_per_tile)
+        return lambda z: v
+    return None
+
+
+def _make_stream_encode(cap_rule, simplify, repair, const_layer):
+    """Streaming encode kernel (round-5 single-exchange plan): input is
+    hash-partitioned by the (tile[, layer]) group key and sorted within
+    partitions by (group key, feature_id), so groups arrive contiguous
+    and pre-sorted across Arrow batches. The kernel applies the
+    per-(tile, layer) budget with a running counter (bounded memory:
+    at most cap(z) rows buffered per open group — the JVM sort is the
+    spillable stage, exactly the property the old window-cap provided)
+    and encodes each completed group with the standard kernel. This
+    replaces [window-cap exchange -> bucket exchange] with ONE
+    exchange; outputs are byte-identical (differential test)."""
+    gcols = ["z", "x", "y"] + ([] if const_layer else ["layer"])
+
+    def gen(batches):
+        cur = None
+        buf: list = []
+        buf_rows = 0
+        n_seen = 0
+        pre_dropped = 0
+        out: list = []
+
+        def flush():
+            nonlocal cur, buf, buf_rows, n_seen, pre_dropped
+            if cur is None:
+                return
+            g = pd.concat(buf, ignore_index=True) if len(buf) > 1 \
+                else buf[0].reset_index(drop=True)
+            if "_pre_dropped" in g.columns:
+                g = g.drop(columns=["_pre_dropped"])
+            layer = const_layer if const_layer else cur[3]
+            g = g.assign(_cap_dropped=(n_seen - len(g)) + pre_dropped)
+            out.append(_encode_one(
+                g, time.perf_counter(), int(cur[0]), int(cur[1]),
+                int(cur[2]), layer, simplify=simplify, repair=repair,
+                presorted=True))
+            cur = None
+            buf = []
+            buf_rows = 0
+            n_seen = 0
+            pre_dropped = 0
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            has_pre = "_pre_dropped" in pdf.columns
+            keyarr = [pdf[c].to_numpy() for c in gcols]
+            chg = np.zeros(len(pdf), dtype=bool)
+            chg[0] = True
+            for a in keyarr:
+                chg[1:] |= a[1:] != a[:-1]
+            idx = np.nonzero(chg)[0].tolist() + [len(pdf)]
+            for s, e in zip(idx[:-1], idx[1:]):
+                key = tuple(a[s] for a in keyarr)
+                if cur is not None and key != cur:
+                    flush()
+                if cur is None:
+                    cur = key
+                seg = pdf.iloc[s:e]
+                if has_pre:
+                    pre_dropped += int(seg["_pre_dropped"].sum())
+                n_seen += e - s
+                cap = cap_rule(int(key[0])) if cap_rule else None
+                if cap is not None and buf_rows + (e - s) > cap:
+                    take = cap - buf_rows
+                    if take > 0:
+                        buf.append(seg.iloc[:take])
+                        buf_rows += take
+                else:
+                    buf.append(seg)
+                    buf_rows += e - s
+                if len(out) >= 64:
+                    yield pd.DataFrame(out, columns=_METRIC_COLS)
+                    out = []
+        flush()
+        if out:
+            yield pd.DataFrame(out, columns=_METRIC_COLS)
+    return gen
 
 
 def assemble_tiles(metrics: DataFrame) -> DataFrame:
@@ -655,6 +753,47 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
     # since rows accumulate as dicts)
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
 
+    # single-exchange streaming encode (round-5): hash-partition by the
+    # group key, sort spillably in the JVM, then ONE pass that caps +
+    # encodes — removes the legacy plan's second (bucket) exchange.
+    # Its extra python stage boundaries cost ~3s of fixed overhead at
+    # toy scale where the exchange it saves is tiny, so the default is
+    # VOLUME-ADAPTIVE (the round-4 depth-adaptive-fusion precedent):
+    # stream-encode when the expected point fan-out is large, legacy
+    # two-exchange otherwise. SPARK_GRAFT_STREAM_ENCODE=1/0 forces.
+    rule = _cap_rule(max_features_per_tile)
+    n_pts = None
+    se_env = os.environ.get("SPARK_GRAFT_STREAM_ENCODE")
+    if se_env is not None:
+        stream_encode = se_env == "1"
+    else:
+        if pzooms:
+            n_pts = (docs.count() if docs is not None
+                     else corpus.documents(spark, sf_dir).count())
+        stream_encode = bool(pzooms) and \
+            n_pts * len(pzooms) >= STREAM_ENCODE_MIN_ROWS
+
+    # cap-first (round-5, the dominant-exchange byte cut): when the
+    # per-tile budgets are expected to BIND (corpus rows per low-zoom
+    # tile >> cap), first compute each tile's cap-th-lowest feature_id
+    # on a THIN (z, x, y, feature_id) projection — Catalyst prunes the
+    # payload columns out of that window's exchange — broadcast the
+    # tiny per-tile threshold table, and filter the payload map-side so
+    # only winner rows ever cross the encode exchange. Exact: fids are
+    # unique per group, so fid <= threshold keeps precisely the window
+    # cap's winner set; the per-group dropped count rides the
+    # _pre_dropped channel on the (always-surviving) min-fid row.
+    cap_first_env = os.environ.get("SPARK_GRAFT_CAP_FIRST")
+    cap_first = False
+    if stream_encode and rule is not None and pzooms:
+        if cap_first_env is not None:
+            cap_first = cap_first_env == "1"
+        else:
+            if n_pts is None:
+                n_pts = (docs.count() if docs is not None
+                         else corpus.documents(spark, sf_dir).count())
+            cap_first = any(n_pts > rule(z) * (4 ** z) * 2 for z in pzooms)
+
     metrics = None
     for feats, const_layer in streams:
         group_keys = ["z", "x", "y"] + ([] if const_layer else ["layer"])
@@ -663,6 +802,46 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
         if filter_keys is not None:
             feats = feats.join(F.broadcast(filter_keys),
                                ["z", "x", "y"], "left_semi")
+
+        if stream_encode:
+            # cap-first only for the corpus-scale point stream; the
+            # bbox streams are catalog-sized
+            if cap_first and const_layer is not None:
+                thin = feats.select(*group_keys, "feature_id")
+                w = Window.partitionBy(*group_keys).orderBy("feature_id")
+                wc = Window.partitionBy(*group_keys)
+                marked = (
+                    thin.withColumn("_rk", F.row_number().over(w))
+                    .withColumn("_tot", F.count("*").over(wc))
+                    .where((F.col("_rk") == cap) | (F.col("_rk") == 1))
+                )
+                thr = marked.groupBy(*group_keys).agg(
+                    F.max(F.when(F.col("_rk") == cap,
+                                 F.col("feature_id"))).alias("_thr"),
+                    F.max(F.when(F.col("_rk") == 1,
+                                 F.col("feature_id"))).alias("_minfid"),
+                    F.max("_tot").alias("_tot"))
+                feats = (
+                    feats.join(F.broadcast(thr), group_keys, "inner")
+                    .where(F.col("_thr").isNull()
+                           | (F.col("feature_id") <= F.col("_thr")))
+                    .withColumn(
+                        "_pre_dropped",
+                        F.when(F.col("feature_id") == F.col("_minfid"),
+                               F.greatest(F.lit(0), F.col("_tot") - cap))
+                        .otherwise(F.lit(0)).cast("long"))
+                    .drop("_thr", "_minfid", "_tot")
+                )
+            m = (
+                feats.repartition(n_buckets, *group_keys)
+                .sortWithinPartitions(*group_keys, "feature_id")
+                .mapInPandas(
+                    _make_stream_encode(rule, simplify, repair_polygons,
+                                        const_layer), ENCODE_SCHEMA)
+            )
+            metrics = m if metrics is None else metrics.unionByName(m)
+            continue
+
         if cap is not None:
             # rank + group count share one window spec (single sort);
             # cap-dropped rows never reach the encode shuffle, but their

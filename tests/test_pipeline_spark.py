@@ -257,6 +257,38 @@ def test_url_dict_transport_off_byte_identical(spark, sf_dir, monkeypatch):
     assert all(a[k] == b[k] for k in a)
 
 
+def test_stream_encode_matches_legacy(spark, sf_dir, monkeypatch):
+    """Round-5 single-exchange streaming encode (repartition -> sorted
+    mapInPandas cap+encode, with the cap-first threshold broadcast)
+    must be byte-identical to the legacy window-cap + bucket plan —
+    both with the default budgets and with a tiny cap that forces
+    drops on every path (cap-first filter, stream cap, window cap).
+    The volume-adaptive default picks legacy at this scale, so the new
+    path is forced via env."""
+    zooms = [0, 1, 2, 3]
+    for cap in ("auto", 7):
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_ENCODE", "1")
+        _, new = pipeline.build_tiles(spark, sf_dir, zooms=zooms,
+                                      max_features_per_tile=cap)
+        nm, _ = pipeline.build_tiles(spark, sf_dir, zooms=zooms,
+                                     max_features_per_tile=cap)
+        a = {(r["z"], r["x"], r["y"]): bytes(r["tile_bytes"])
+             for r in new.collect()}
+        da = {(r["z"], r["x"], r["y"], r["layer"]):
+              (r["n_features"], r["n_dropped"]) for r in nm.collect()}
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_ENCODE", "0")
+        om, old = pipeline.build_tiles(spark, sf_dir, zooms=zooms,
+                                       max_features_per_tile=cap)
+        b = {(r["z"], r["x"], r["y"]): bytes(r["tile_bytes"])
+             for r in old.collect()}
+        db = {(r["z"], r["x"], r["y"], r["layer"]):
+              (r["n_features"], r["n_dropped"]) for r in om.collect()}
+        monkeypatch.delenv("SPARK_GRAFT_STREAM_ENCODE")
+        assert set(a) == set(b), f"cap={cap}"
+        assert all(a[k] == b[k] for k in a), f"cap={cap}"
+        assert da == db, f"cap={cap}"
+
+
 def test_typed_tag_values_bytematch_hand_built_protobuf():
     """E6 typed tags through pipeline transport (round-3 VERDICT missing
     #4): `tag_<key>__i/__f/__b` columns must hit int_value / double_value
