@@ -560,6 +560,43 @@ def _cap_rule(max_features_per_tile):
     return None
 
 
+def _cap_first_filter(feats: DataFrame, group_keys: list, cap) -> DataFrame:
+    """Round-5 cap-first thresholds: compute each tile's cap-th-lowest
+    feature_id on a THIN (group key, feature_id) projection — Catalyst
+    prunes the payload columns out of that window's exchange — then
+    broadcast the tiny per-tile threshold table and filter the payload
+    MAP-SIDE, so only winner rows ever cross the encode exchange.
+    Exact: feature_ids are unique per group, so fid <= threshold keeps
+    precisely the window cap's winner set; the per-group dropped count
+    rides the _pre_dropped channel on the (always-surviving) min-fid
+    row."""
+    thin = feats.select(*group_keys, "feature_id")
+    w = Window.partitionBy(*group_keys).orderBy("feature_id")
+    wc = Window.partitionBy(*group_keys)
+    marked = (
+        thin.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_tot", F.count("*").over(wc))
+        .where((F.col("_rk") == cap) | (F.col("_rk") == 1))
+    )
+    thr = marked.groupBy(*group_keys).agg(
+        F.max(F.when(F.col("_rk") == cap,
+                     F.col("feature_id"))).alias("_thr"),
+        F.max(F.when(F.col("_rk") == 1,
+                     F.col("feature_id"))).alias("_minfid"),
+        F.max("_tot").alias("_tot"))
+    return (
+        feats.join(F.broadcast(thr), group_keys, "inner")
+        .where(F.col("_thr").isNull()
+               | (F.col("feature_id") <= F.col("_thr")))
+        .withColumn(
+            "_pre_dropped",
+            F.when(F.col("feature_id") == F.col("_minfid"),
+                   F.greatest(F.lit(0), F.col("_tot") - cap))
+            .otherwise(F.lit(0)).cast("long"))
+        .drop("_thr", "_minfid", "_tot")
+    )
+
+
 def _make_stream_encode(cap_rule, simplify, repair, const_layer):
     """Streaming encode kernel (round-5 single-exchange plan): input is
     hash-partitioned by the (tile[, layer]) group key and sorted within
@@ -807,31 +844,7 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
             # cap-first only for the corpus-scale point stream; the
             # bbox streams are catalog-sized
             if cap_first and const_layer is not None:
-                thin = feats.select(*group_keys, "feature_id")
-                w = Window.partitionBy(*group_keys).orderBy("feature_id")
-                wc = Window.partitionBy(*group_keys)
-                marked = (
-                    thin.withColumn("_rk", F.row_number().over(w))
-                    .withColumn("_tot", F.count("*").over(wc))
-                    .where((F.col("_rk") == cap) | (F.col("_rk") == 1))
-                )
-                thr = marked.groupBy(*group_keys).agg(
-                    F.max(F.when(F.col("_rk") == cap,
-                                 F.col("feature_id"))).alias("_thr"),
-                    F.max(F.when(F.col("_rk") == 1,
-                                 F.col("feature_id"))).alias("_minfid"),
-                    F.max("_tot").alias("_tot"))
-                feats = (
-                    feats.join(F.broadcast(thr), group_keys, "inner")
-                    .where(F.col("_thr").isNull()
-                           | (F.col("feature_id") <= F.col("_thr")))
-                    .withColumn(
-                        "_pre_dropped",
-                        F.when(F.col("feature_id") == F.col("_minfid"),
-                               F.greatest(F.lit(0), F.col("_tot") - cap))
-                        .otherwise(F.lit(0)).cast("long"))
-                    .drop("_thr", "_minfid", "_tot")
-                )
+                feats = _cap_first_filter(feats, group_keys, cap)
             m = (
                 feats.repartition(n_buckets, *group_keys)
                 .sortWithinPartitions(*group_keys, "feature_id")
@@ -918,6 +931,207 @@ FUSED_SCHEMA = ENCODE_SCHEMA + (
     ", tile_bytes binary, n_layers long, tile_len long")
 
 
+def _world_y(lat, nz):
+    """Spherical-mercator world y (tiles grow downward) — the NumPy
+    twin of grid.col_world_y, shared by the fused kernels so their
+    membership arithmetic is bit-identical to the fan-out predicate."""
+    return (0.5 - np.log(np.tan(np.pi / 4.0 + lat * (np.pi / 180.0)
+                                / 2.0)) / (2.0 * np.pi)) * float(nz)
+
+
+def _decode_url_pdf(pdf: pd.DataFrame, url_prefixes) -> pd.DataFrame:
+    """Undo the URL-prefix dictionary transport: rebuild the exact
+    tag_url strings from the broadcast prefix table, re-inserting the
+    column at its original position so MVT tag-key first-appearance
+    order (column order) is byte-identical to the raw-string path."""
+    if url_prefixes is None or "_upid" not in pdf.columns:
+        return pdf
+    arr = np.asarray(url_prefixes, dtype=object)
+    pid = pdf["_upid"].to_numpy()
+    sfx = pdf["_usfx"].to_numpy(dtype=object)
+    mask = pd.notna(pid)
+    url = np.full(len(pdf), None, dtype=object)
+    if mask.any():
+        url[mask] = arr[pid[mask].astype(np.int64)] + sfx[mask]
+    pdf = pdf.drop(columns=["_upid", "_usfx"])
+    pos = pdf.columns.get_loc("tag_lang") if "tag_lang" in pdf.columns \
+        else len(pdf.columns)
+    pdf.insert(pos, "tag_url", url)
+    return pdf
+
+
+def _split_poly_layers(polys: pd.DataFrame | None, layer_zoom: dict | None):
+    """Broadcast polygon frame -> per-layer closure list in layer-name
+    order (assembly sorts by layer name; list order preserves it)."""
+    out = []
+    if polys is not None and len(polys):
+        for name, lgdf in polys.groupby("layer", sort=True):
+            lgdf = lgdf.reset_index(drop=True)
+            lo, hi = (layer_zoom or {}).get(name, (0, grid.MAX_Z))
+            out.append((
+                name, lo, hi,
+                lgdf["minx"].to_numpy(np.float64),
+                lgdf["miny"].to_numpy(np.float64),
+                lgdf["maxx"].to_numpy(np.float64),
+                lgdf["maxy"].to_numpy(np.float64),
+                lgdf))
+    return out
+
+
+def _emit_assembled(rows: list, tile_metrics: list, z: int, x: int,
+                    y: int) -> None:
+    """In-place tile assembly: byte concat in layer-name order
+    (identical to assemble_tiles' array_sort concat). Appends the
+    metric rows (blobs stripped) plus one assembled tile row."""
+    tile_metrics.sort(key=lambda m: m["layer"])
+    tb = b"".join(m["layer_bytes"] for m in tile_metrics)
+    for m in tile_metrics:
+        rows.append(dict(m, layer_bytes=None, tile_bytes=None,
+                         n_layers=None, tile_len=None))
+    rows.append({
+        "z": z, "x": x, "y": y, "layer": None,
+        "layer_bytes": None,
+        "n_features": sum(m["n_features"] for m in tile_metrics),
+        "n_dropped": None, "bytes": None, "encode_ms": None,
+        "tile_bytes": tb, "n_layers": len(tile_metrics),
+        "tile_len": len(tb),
+    })
+
+
+def _make_fused_low_encode(cap_rule, simplify, repair, polys_bc,
+                           layer_zoom, upfx_bc):
+    """Fused low-zoom kernel (round-5 follow-on: kills the low-zoom
+    assemble exchange, the last blob-weight exchange in the plan).
+
+    Input: the corpus point stream fanned out to the low zooms
+    (cap-first winners plus skeleton (z, x, y) keys for page-less
+    polygon tiles), hash-partitioned by (z, x, y) and sorted within
+    partitions by (z, x, y, feature_id) — the same single-exchange
+    contract as _make_stream_encode. Per completed tile group: encode
+    the pages layer under the standard running budget, derive the
+    catalog-sized polygon layers' membership from the BROADCAST frame
+    with the identical buffered-bbox arithmetic as
+    tiling.assign_bbox_tiles, encode each member layer, and assemble
+    the tile IN PLACE — blobs are born in their final partition
+    exactly like the deep-zoom anchor kernel, so neither the polygon
+    fan-out nor the assemble groupBy exchange exists at low zooms.
+    Byte-identical to the standard path by differential test."""
+
+    def gen(batches):
+        polys = polys_bc.value if polys_bc is not None else None
+        upfx = upfx_bc.value if upfx_bc is not None else None
+        poly_layers = _split_poly_layers(polys, layer_zoom)
+        bounds_cache: dict = {}
+        buf = tiling.BUFFER_FRAC
+        cur = None
+        pbuf: list = []
+        pbuf_rows = 0
+        n_seen = 0
+        pre_dropped = 0
+        out_rows: list = []
+        n_tiles_out = 0
+
+        def flush():
+            nonlocal cur, pbuf, pbuf_rows, n_seen, pre_dropped, n_tiles_out
+            if cur is None:
+                return
+            z, x, y = int(cur[0]), int(cur[1]), int(cur[2])
+            tile_metrics = []
+            if n_seen:
+                g = pd.concat(pbuf, ignore_index=True) if len(pbuf) > 1 \
+                    else pbuf[0].reset_index(drop=True)
+                if "_pre_dropped" in g.columns:
+                    g = g.drop(columns=["_pre_dropped"])
+                g = _decode_url_pdf(g, upfx)
+                g = g.assign(_cap_dropped=(n_seen - len(g)) + pre_dropped)
+                tile_metrics.append(_encode_one(
+                    g, time.perf_counter(), z, x, y, "pages",
+                    simplify=simplify, repair=repair, presorted=True))
+            n = 1 << z
+            for li, (name, lo, hi, pminx, pminy, pmaxx, pmaxy, lgdf) \
+                    in enumerate(poly_layers):
+                if z < lo or z > hi:
+                    continue
+                b = bounds_cache.get((li, z))
+                if b is None:
+                    x0 = np.floor((pminx + 180.0) / 360.0 * float(n)
+                                  - buf).astype(np.int64)
+                    x1 = np.floor((pmaxx + 180.0) / 360.0 * float(n)
+                                  + buf).astype(np.int64)
+                    y0 = np.floor(_world_y(pmaxy, n) - buf).astype(np.int64)
+                    y1 = np.floor(_world_y(pminy, n) + buf).astype(np.int64)
+                    b = (np.maximum(x0, 0), np.minimum(x1, n - 1),
+                         np.maximum(y0, 0), np.minimum(y1, n - 1))
+                    bounds_cache[(li, z)] = b
+                x0, x1, y0, y1 = b
+                idxs = np.nonzero((x0 <= x) & (x <= x1)
+                                  & (y0 <= y) & (y <= y1))[0]
+                if not len(idxs):
+                    continue
+                sub = lgdf.iloc[idxs][["feature_id", *POLY_SOA_COLS,
+                                       "tag_name"]]
+                cap = cap_rule(z) if cap_rule else None
+                if cap is not None and len(sub) > cap:
+                    n_over = len(sub) - cap
+                    sub = sub.nsmallest(cap, "feature_id").assign(
+                        _cap_dropped=n_over)
+                tile_metrics.append(_encode_one(
+                    sub, time.perf_counter(), z, x, y, name,
+                    simplify=simplify, repair=repair))
+            if tile_metrics:
+                _emit_assembled(out_rows, tile_metrics, z, x, y)
+                n_tiles_out += 1
+            cur = None
+            pbuf = []
+            pbuf_rows = 0
+            n_seen = 0
+            pre_dropped = 0
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            has_pre = "_pre_dropped" in pdf.columns
+            keyarr = [pdf[c].to_numpy() for c in ("z", "x", "y")]
+            real = pdf["lon"].notna().to_numpy()
+            chg = np.zeros(len(pdf), dtype=bool)
+            chg[0] = True
+            for a in keyarr:
+                chg[1:] |= a[1:] != a[:-1]
+            idx = np.nonzero(chg)[0].tolist() + [len(pdf)]
+            for s, e in zip(idx[:-1], idx[1:]):
+                key = tuple(a[s] for a in keyarr)
+                if cur is not None and key != cur:
+                    flush()
+                if cur is None:
+                    cur = key
+                rm = real[s:e]
+                if not rm.any():
+                    continue  # skeleton-only segment: key registered
+                seg = pdf.iloc[s:e]
+                if not rm.all():
+                    seg = seg[rm]
+                if has_pre:
+                    pre_dropped += int(seg["_pre_dropped"].sum())
+                n_seen += len(seg)
+                cap = cap_rule(int(key[0])) if cap_rule else None
+                if cap is not None and pbuf_rows + len(seg) > cap:
+                    take = cap - pbuf_rows
+                    if take > 0:
+                        pbuf.append(seg.iloc[:take])
+                        pbuf_rows += take
+                else:
+                    pbuf.append(seg)
+                    pbuf_rows += len(seg)
+                if n_tiles_out >= 64:
+                    yield pd.DataFrame(out_rows, columns=_FUSED_COLS)
+                    out_rows = []
+                    n_tiles_out = 0
+        flush()
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=_FUSED_COLS)
+    return gen
+
+
 def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
                           simplify: bool, repair: bool,
                           caps: dict | None = None,
@@ -946,43 +1160,14 @@ def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
     layer_bytes omitted) plus one assembled tile row per (z, x, y)
     (layer NULL, tile_bytes set), byte-identical to
     assemble_tiles(build_tiles(...)) by differential test."""
-    # undo the URL-prefix dictionary transport: rebuild the exact
-    # tag_url strings from the broadcast prefix table, re-inserting the
-    # column at its original position so MVT tag-key first-appearance
-    # order (column order) is byte-identical to the raw-string path
-    if url_prefixes is not None and "_upid" in pdf.columns:
-        arr = np.asarray(url_prefixes, dtype=object)
-        pid = pdf["_upid"].to_numpy()
-        sfx = pdf["_usfx"].to_numpy(dtype=object)
-        mask = pd.notna(pid)
-        url = np.full(len(pdf), None, dtype=object)
-        if mask.any():
-            url[mask] = arr[pid[mask].astype(np.int64)] + sfx[mask]
-        pdf = pdf.drop(columns=["_upid", "_usfx"])
-        pos = pdf.columns.get_loc("tag_lang") if "tag_lang" in pdf.columns \
-            else len(pdf.columns)
-        pdf.insert(pos, "tag_url", url)
+    pdf = _decode_url_pdf(pdf, url_prefixes)
 
     rows = []
     buf = tiling.BUFFER_FRAC
     # polygon closure split per layer in name order (assembly sorts by
     # layer name; dict insertion below preserves this order)
-    poly_layers = []
-    if polys is not None and len(polys):
-        for name, lgdf in polys.groupby("layer", sort=True):
-            lgdf = lgdf.reset_index(drop=True)
-            lo, hi = (layer_zoom or {}).get(name, (0, grid.MAX_Z))
-            poly_layers.append((
-                name, lo, hi,
-                lgdf["minx"].to_numpy(np.float64),
-                lgdf["miny"].to_numpy(np.float64),
-                lgdf["maxx"].to_numpy(np.float64),
-                lgdf["maxy"].to_numpy(np.float64),
-                lgdf))
-
-    def world_y(lat, nz):
-        return (0.5 - np.log(np.tan(np.pi / 4.0 + lat * (np.pi / 180.0)
-                                    / 2.0)) / (2.0 * np.pi)) * float(nz)
+    poly_layers = _split_poly_layers(polys, layer_zoom)
+    world_y = _world_y
 
     for (ax, ay), g in pdf.groupby(["x", "y"], sort=True):
         g = g[g["lon"].notna()]  # skeleton rows mark polygon-only anchors
@@ -1116,23 +1301,7 @@ def _encode_anchor_bucket(pdf: pd.DataFrame, anchor_z: int, zooms_hi,
                     # the assemble exchange groups them downstream)
                     rows.extend(tile_metrics)
                     continue
-                # in-place assembly: byte concat in layer-name order
-                # (identical to assemble_tiles' array_sort concat)
-                tile_metrics.sort(key=lambda m: m["layer"])
-                tb = b"".join(m["layer_bytes"] for m in tile_metrics)
-                for m in tile_metrics:
-                    m = dict(m, layer_bytes=None, tile_bytes=None,
-                             n_layers=None, tile_len=None)
-                    rows.append(m)
-                rows.append({
-                    "z": z, "x": tx, "y": ty, "layer": None,
-                    "layer_bytes": None,
-                    "n_features": sum(m["n_features"]
-                                      for m in tile_metrics),
-                    "n_dropped": None, "bytes": None, "encode_ms": None,
-                    "tile_bytes": tb, "n_layers": len(tile_metrics),
-                    "tile_len": len(tb),
-                })
+                _emit_assembled(rows, tile_metrics, z, tx, ty)
     if not emit_tiles:
         return pd.DataFrame(rows, columns=_METRIC_COLS)
     return pd.DataFrame(rows, columns=_FUSED_COLS)
@@ -1198,25 +1367,12 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
         if n_polys > fused_max_polys():
             fused = False
 
-    # standard path: with fusion it covers the low zooms COMPLETELY
-    # (points + polygons + assemble) and every deep zoom runs in the
-    # anchor kernel; without fusion it additionally carries the polygon
-    # layers at ALL zooms (the anchor kernel is then points-only and
-    # tiles assemble via the grouped concat)
-    std_metrics = std_tiles = None
-    if zooms_lo or (with_polygons and not fused):
-        std_zooms = zooms_lo if fused else zooms
-        std_metrics, std_tiles = build_tiles(
-            spark, sf_dir, std_zooms, docs=docs,
-            with_polygons=with_polygons,
-            simplify=simplify, repair_polygons=repair_polygons,
-            max_features_per_tile=max_features_per_tile,
-            point_zooms=zooms_lo)
-
-    # hierarchical path: ONE anchor shuffle for all deep point zooms,
-    # carrying only the point stream's live columns (z is the constant
-    # anchor level, so it does not ship either). tag_url crosses the
-    # exchange dictionary-encoded (int prefix id + short suffix).
+    # hierarchical path inputs: ONE anchor shuffle for all deep point
+    # zooms, carrying only the point stream's live columns (z is the
+    # constant anchor level, so it does not ship either). tag_url
+    # crosses the exchange dictionary-encoded (int prefix id + short
+    # suffix). Built before the low-zoom decision because the fused
+    # low-zoom path reuses pts and the polygon broadcast.
     pts = point_features(spark, sf_dir, docs=docs)
     pts, upfx_bc = _dict_encode_url(spark, pts)
     point_cols = ["feature_id", "lon", "lat"] + \
@@ -1231,7 +1387,7 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
     # guard above bounds its size), plus skeleton anchor keys so
     # polygon-only anchors (a nation with no pages in range) still
     # produce their deep tiles
-    polys_bc = layer_zoom = None
+    polys_bc = layer_zoom = pf = None
     if with_polygons and fused:
         pf = polygon_features(spark, sf_dir)
         polys_bc = spark.sparkContext.broadcast(pf.toPandas())
@@ -1246,7 +1402,93 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
                 .select("x", "y").distinct().select("x", "y", *nulls))
         anchored = anchored.unionByName(skel)
 
+    # fused low-zoom assembly decision (round-5 follow-on): when the
+    # deep path is fused (polygons broadcastable) and the low-zoom
+    # point fan-out is large enough for the streaming plan (the same
+    # volume rule as build_tiles), the low zooms run in-kernel
+    # assembly too and the assemble exchange disappears entirely.
+    # SPARK_GRAFT_FUSED_LOW=1/0 forces.
+    fused_low = False
+    n_low_docs = None
+    if fused and zooms_lo:
+        fl_env = os.environ.get("SPARK_GRAFT_FUSED_LOW")
+        if fl_env is not None:
+            fused_low = fl_env == "1"
+        else:
+            n_low_docs = (docs.count() if docs is not None
+                          else corpus.documents(spark, sf_dir).count())
+            fused_low = n_low_docs * len(zooms_lo) >= STREAM_ENCODE_MIN_ROWS
+
+    # standard path: with fusion it covers the low zooms COMPLETELY
+    # (points + polygons + assemble) and every deep zoom runs in the
+    # anchor kernel; without fusion it additionally carries the polygon
+    # layers at ALL zooms (the anchor kernel is then points-only and
+    # tiles assemble via the grouped concat). With fused_low the low
+    # zooms skip this path entirely (built below with in-kernel
+    # assembly instead).
+    std_metrics = std_tiles = None
+    if (zooms_lo and not fused_low) or (with_polygons and not fused):
+        std_zooms = zooms_lo if fused else zooms
+        std_metrics, std_tiles = build_tiles(
+            spark, sf_dir, std_zooms, docs=docs,
+            with_polygons=with_polygons,
+            simplify=simplify, repair_polygons=repair_polygons,
+            max_features_per_tile=max_features_per_tile,
+            point_zooms=zooms_lo)
+
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
+
+    if fused_low:
+        rule = _cap_rule(max_features_per_tile)
+        low = tiling.assign_point_tiles(pts, zooms_lo).select(
+            "z", "x", "y", *point_cols)
+        if max_features_per_tile == "auto":
+            cap_col = F.when(F.col("z") <= 4, F.lit(CAP_LOW_ZOOM)) \
+                       .otherwise(F.lit(CAP_HIGH_ZOOM))
+        elif max_features_per_tile:
+            cap_col = F.lit(int(max_features_per_tile))
+        else:
+            cap_col = None
+        if cap_col is not None:
+            cf_env = os.environ.get("SPARK_GRAFT_CAP_FIRST")
+            if cf_env is not None:
+                cap_first = cf_env == "1"
+            else:
+                if n_low_docs is None:
+                    n_low_docs = (docs.count() if docs is not None
+                                  else corpus.documents(spark,
+                                                        sf_dir).count())
+                cap_first = any(n_low_docs > rule(z) * (4 ** z) * 2
+                                for z in zooms_lo)
+            if cap_first:
+                low = _cap_first_filter(low, ["z", "x", "y"], cap_col)
+        if polys_bc is not None:
+            # skeleton (z, x, y) keys so polygon-only low-zoom tiles
+            # (zoom-pruned per layer, same predicate as the standard
+            # fan-out) are still produced by the kernel
+            cond = None
+            for name, (lo, hi) in layer_zoom.items():
+                c = ((F.col("layer") == name) & (F.col("z") >= lo)
+                     & (F.col("z") <= hi))
+                cond = c if cond is None else (cond | c)
+            keys = (tiling.assign_bbox_tiles(pf, zooms_lo).where(cond)
+                    .select("z", "x", "y").distinct())
+            low_nulls = [F.lit(None).cast(fld.dataType).alias(fld.name)
+                         for fld in low.schema.fields
+                         if fld.name not in ("z", "x", "y")]
+            low = low.unionByName(keys.select("z", "x", "y", *low_nulls))
+        low_out = (
+            low.repartition(n_buckets, "z", "x", "y")
+            .sortWithinPartitions("z", "x", "y", "feature_id")
+            .mapInPandas(
+                _make_fused_low_encode(rule, simplify, repair_polygons,
+                                       polys_bc, layer_zoom, upfx_bc),
+                FUSED_SCHEMA))
+        std_metrics = low_out.where(F.col("layer").isNotNull()) \
+            .select(*_METRIC_COLS)
+        std_tiles = low_out.where(F.col("layer").isNull()).select(
+            "z", "x", "y", "tile_bytes", "n_features", "n_layers",
+            "tile_len")
 
     # same per-(tile, layer) budget policy as the standard path, applied
     # inside the anchor kernel (drops ride _cap_dropped into n_dropped)
