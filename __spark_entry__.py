@@ -276,6 +276,32 @@ def q_mvt_line_counts(spark, sf_dir):
         "z", "x", "y", "n_features", "n_dropped")
 
 
+def q_mvt_polygon_counts(spark, sf_dir):
+    """Polygon family (G3 make-valid + clip) under the HARD oracle:
+    per-(z, x, y, layer) kept/dropped counts of the nations/regions
+    rect layers from the REAL hierarchical build — the fused anchor
+    kernel derives deep-tile polygon membership from the broadcast
+    layer frame (pipeline.py:1220-1270) and every candidate runs
+    reproject -> prepare (quantize/dedup/de-close/rectify,
+    prepare.go:114-150) -> CleanGeometry's always-on make-valid sweep
+    (validate.go:101-146). DuckDB replays the keep-decision from first
+    principles: a rect survives iff its quantized pixel spans exceed
+    the 1e-9 dedup comparator (cmp/default_compare.go:10-13) AND the
+    x10 fixed-point effective clipbox — clip INTERSECT geometry bbox,
+    main.go:162-169 — is non-degenerate (strict <; touching the
+    [-64, 4160] buffered region yields zero area and the sweep returns
+    nothing). The reduction is differentially proven against the real
+    prepare_geo + clean_geometry path on every fan-out candidate plus
+    an adversarial sliver/edge-aligned battery
+    (tests/test_polygon_counts_oracle.py)."""
+    from tegola_spark.plans import pipeline
+
+    metrics, _ = pipeline.build_tiles_hierarchical(
+        spark, sf_dir, zooms=[0, 1, 2, 3, 4, 5], anchor_z=2)
+    return metrics.where(F.col("layer").isin("nations", "regions")).select(
+        "z", "x", "y", "layer", "n_features", "n_dropped")
+
+
 def q_dedup_exact(spark, sf_dir):
     from tegola_spark.operators import dedup
     from tegola_spark.sources import corpus
@@ -715,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_tiles_hier": q_mvt_tiles_hier,
         "mvt_point_counts": q_mvt_point_counts,
         "mvt_line_counts": q_mvt_line_counts,
+        "mvt_polygon_counts": q_mvt_polygon_counts,
         "dedup_exact": q_dedup_exact,
         "dedup_norm": q_dedup_norm,
         "token_stats": q_token_stats,
@@ -1102,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_portable": _simhash_portable_oracle(),
         "mvt_point_counts": _mvt_point_counts_oracle(range(0, 6)),
         "mvt_line_counts": _mvt_line_counts_oracle(range(0, 6)),
+        "mvt_polygon_counts": _mvt_polygon_counts_oracle(range(0, 6)),
         "similarity_ivf": _ivf_fixed_oracle(
             5, 16, 4,
             "SELECT vec_id AS query_id, embedding AS qemb FROM embeddings "
@@ -1340,6 +1368,83 @@ def _mvt_line_counts_oracle(zooms) -> str:
                CAST(SUM(kept) AS BIGINT) AS n_features,
                CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped
         FROM k GROUP BY 1, 2, 3
+    """
+
+
+def _mvt_polygon_counts_oracle(zooms) -> str:
+    """Replays the nations/regions polygon layers at counts level:
+    bbox fan-out (assign_bbox_tiles / the fused kernel's identical
+    span arithmetic), ellipsoidal corner projection, spherical tile
+    extents, pixel quantization — then the polygon keep-decision in
+    its reduced form for axis-aligned rects (differentially proven
+    against prepare_geo + clean_geometry, see q_mvt_polygon_counts):
+
+      kept iff |qx1-qx0| > 1e-9 AND |qyb-qyt| > 1e-9     (dedup tol)
+           AND max(-640, 10*qxmin) < min(41600, 10*qxmax) (x10 clipbox
+           AND max(-640, 10*qymin) < min(41600, 10*qymax)  main.go:162)
+    """
+    zlist = ", ".join(map(str, zooms))
+    tminx, tminy, tmaxx, tmaxy = _tile_ext_sql(
+        "CAST(x AS DOUBLE)", "CAST(y AS DOUBLE)", "nd")
+    kept = ("CASE WHEN abs(qx1 - qx0) > 1e-9 AND abs(qyb - qyt) > 1e-9 "
+            "AND greatest(-640.0, 10.0 * least(qx0, qx1))"
+            " < least(41600.0, 10.0 * greatest(qx0, qx1)) "
+            "AND greatest(-640.0, 10.0 * least(qyt, qyb))"
+            " < least(41600.0, 10.0 * greatest(qyt, qyb)) "
+            "THEN 1 ELSE 0 END")
+    return f"""
+        WITH rect AS (
+          SELECT 'nations' AS layer,
+                 CAST((n_nationkey * 37) % 340 - 170 AS DOUBLE) AS minx,
+                 CAST((n_nationkey * 23) % 160 - 80 AS DOUBLE) AS miny,
+                 CAST((n_nationkey * 37) % 340 - 170 + 6 + n_nationkey % 7
+                      AS DOUBLE) AS maxx,
+                 CAST((n_nationkey * 23) % 160 - 80 + 4 + n_nationkey % 5
+                      AS DOUBLE) AS maxy
+          FROM nation
+          UNION ALL
+          SELECT 'regions',
+                 CAST(r_regionkey * 72 - 180 AS DOUBLE),
+                 CAST((r_regionkey * 13) % 20 - 70 AS DOUBLE),
+                 CAST(r_regionkey * 72 - 180 + 72 AS DOUBLE),
+                 CAST((r_regionkey * 13) % 20 - 70 + 100 AS DOUBLE)
+          FROM region
+        ), pr AS (
+          SELECT layer, minx, miny, maxx, maxy,
+                 {_ell_x_sql('minx')} AS pax, {_ell_x_sql('maxx')} AS pbx,
+                 {_ell_y_sql('miny')} AS pay, {_ell_y_sql('maxy')} AS pby
+          FROM rect
+        ), zs AS (
+          SELECT z, pow(2.0, z) AS nd
+          FROM (SELECT unnest([{zlist}]) AS z)
+        ), fan AS (
+          SELECT pr.*, zs.z, zs.nd,
+                 CAST(floor({_wx_sql('minx', 'nd')} - {_BUF}) AS BIGINT) AS x0,
+                 CAST(floor({_wx_sql('maxx', 'nd')} + {_BUF}) AS BIGINT) AS x1,
+                 CAST(floor({_wy_sql('maxy', 'nd')} - {_BUF}) AS BIGINT) AS y0,
+                 CAST(floor({_wy_sql('miny', 'nd')} + {_BUF}) AS BIGINT) AS y1
+          FROM pr, zs
+        ), assigned AS (
+          SELECT f.*, gx.x AS x, gy.y AS y
+          FROM fan f, generate_series(0, 63) gx(x),
+               generate_series(0, 63) gy(y)
+          WHERE gx.x >= greatest(x0, 0)
+            AND gx.x <= least(x1, CAST(nd AS BIGINT) - 1)
+            AND gy.y >= greatest(y0, 0)
+            AND gy.y <= least(y1, CAST(nd AS BIGINT) - 1)
+        ), q AS (
+          SELECT layer, z, x, y,
+                 (pax - {tminx}) / ({tmaxx} - {tminx}) * 4096.0 AS qx0,
+                 (pbx - {tminx}) / ({tmaxx} - {tminx}) * 4096.0 AS qx1,
+                 ({tmaxy} - pay) / ({tmaxy} - {tminy}) * 4096.0 AS qyb,
+                 ({tmaxy} - pby) / ({tmaxy} - {tminy}) * 4096.0 AS qyt
+          FROM assigned
+        )
+        SELECT CAST(z AS INTEGER) AS z, CAST(x AS BIGINT) AS x,
+               CAST(y AS BIGINT) AS y, layer,
+               CAST(SUM({kept}) AS BIGINT) AS n_features,
+               CAST(COUNT(*) - SUM({kept}) AS BIGINT) AS n_dropped
+        FROM q GROUP BY 1, 2, 3, 4
     """
 
 
