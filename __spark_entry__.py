@@ -545,6 +545,73 @@ def q_similarity_ann_batch(spark, sf_dir):
         sequential=True)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phone-like runs) — codegen
+    regexp expressions only, sequential replacement, portable
+    Java/RE2/Python patterns. The oracle replays counts AND the md5 of
+    every redacted byte (DuckDB needs the 'g' flag — its
+    regexp_replace is first-match by default)."""
+    from tegola_spark.operators import pii
+    from tegola_spark.sources import corpus
+
+    # the synthetic corpus carries no natural PII, so inject a
+    # deterministic payload (varying email count, doc-dependent IP,
+    # phone) with pure column expressions the oracle replays verbatim
+    docs = corpus.documents(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" or admin@test.org"))
+             .otherwise(F.lit("")),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"))
+    return (pii.scrub_documents(aug)
+            .select("doc_id", "n_emails", "n_ipv4", "redacted_md5")
+            .orderBy("doc_id"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic dataset-mixing: per-language keep rates (en 0.9 /
+    de 0.5 / fr 0.25 / es 0.1 / default 0.05 — zh exercises the
+    default) via a salted md5 bucket, plus an independently-salted
+    train/holdout split. Pure column expressions, no shuffle, no RNG
+    state — the oracle replays the exact integer thresholds."""
+    from tegola_spark.operators import sampling
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    out = sampling.stratified_sample(
+        docs, {"en": 0.9, "de": 0.5, "fr": 0.25, "es": 0.1},
+        default_rate=0.05)
+    out = sampling.assign_split(out)
+    return out.select("doc_id", "lang", "sample_bucket", "split") \
+              .orderBy("doc_id")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution — the step after pair generation in
+    a real dedup pipeline (keep one doc per duplicate GROUP, not per
+    pair). Edges are the hash-green minhash_pairs recipe (LSH
+    candidates verified by exact word-trigram jaccard >= 0.6);
+    components come from iterative min-label propagation
+    (clusters.connected_components, GraphX-style, one shuffle per
+    round, converges in O(diameter)). The oracle recomputes edges from
+    ALL pairs and resolves components with a recursive-CTE transitive
+    closure, so a missed edge OR a wrong component label turns the
+    entry red."""
+    from tegola_spark.operators import clusters
+    from tegola_spark.sources import corpus
+
+    pairs = q_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    docs = corpus.documents(spark, sf_dir)
+    return clusters.dedup_clusters(docs, pairs).orderBy("doc_id")
+
+
 def q_minhash_pairs(spark, sf_dir):
     """MinHash LSH candidate generation + EXACT verification — the real
     dedup pipeline shape, now hash-checked: banded minhash surfaces
@@ -765,6 +832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_rollup": q_raster_rollup,
         "raster_vectorize": q_raster_vectorize,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "pii_scrub": q_pii_scrub,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_portable": q_simhash_portable,
         "multimodal_decode": q_multimodal_decode,
@@ -1126,6 +1196,9 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01) AS qemb "
             "FROM embeddings"),
         "minhash_pairs": _TRIGRAM_JACCARD_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "pii_scrub": _PII_SCRUB_SQL,
         "simhash_portable": _simhash_portable_oracle(),
         "mvt_point_counts": _mvt_point_counts_oracle(range(0, 6)),
         "mvt_line_counts": _mvt_line_counts_oracle(range(0, 6)),
@@ -1596,6 +1669,90 @@ _TRIGRAM_JACCARD_SQL = r"""
         FROM tris a JOIN tris b ON a.doc_id < b.doc_id
         WHERE ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
                     greatest(len(list_distinct(a.g || b.g)), 1), 6) >= 0.6
+"""
+
+# Same regex sources as operators/pii.py (portable Java/RE2/Python
+# subset: no lookarounds/backrefs); DuckDB regexp_replace needs the
+# 'g' flag to match Spark's replace-all semantics.
+_PII_SCRUB_SQL = r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com'
+                      || CASE WHEN doc_id % 3 = 0
+                              THEN ' or admin@test.org' ELSE '' END
+                      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.7 call +1 (555) 010-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                    AS BIGINT) AS n_ipv4,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                    '<IP>', 'g'),
+                    '\+?[0-9][0-9() -]{6,}[0-9]',
+                    '<PHONE>', 'g')) AS redacted_md5
+        FROM aug
+        ORDER BY doc_id
+"""
+
+# Same 48-bit salted md5 buckets and integer thresholds as
+# sampling.stratified_sample / assign_split (rates x RESOLUTION
+# rounded driver-side, so both engines compare exact ints).
+_STRATIFIED_SAMPLE_SQL = r"""
+        WITH b AS (
+          SELECT doc_id, lang,
+                 CAST(concat('0x', substr(md5(concat('mix-v1',
+                      CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT)
+                   % 1000000 AS sample_bucket,
+                 CAST(concat('0x', substr(md5(concat('split-v1',
+                      CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT)
+                   % 1000000 AS sb2
+          FROM documents
+        )
+        SELECT doc_id, lang, sample_bucket,
+               CASE WHEN sb2 < 100000 THEN 'holdout' ELSE 'train' END AS split
+        FROM b
+        WHERE sample_bucket < CASE lang
+            WHEN 'de' THEN 500000 WHEN 'en' THEN 900000
+            WHEN 'es' THEN 100000 WHEN 'fr' THEN 250000
+            ELSE 50000 END
+        ORDER BY doc_id
+"""
+
+# Transitive closure over the SAME edge set as minhash_pairs (the
+# trigram SQL recomputes edges from ALL pairs, so LSH recall is still
+# part of what is checked); MIN(reachable id) is the deterministic
+# component representative, matching clusters.connected_components.
+_DEDUP_CLUSTERS_SQL = rf"""
+        WITH RECURSIVE pairs AS (
+          {_TRIGRAM_JACCARD_SQL}
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM pairs
+        ), reach AS (
+          SELECT doc_id AS id, doc_id AS root FROM documents
+          UNION
+          SELECT e.dst AS id, rc.root AS root
+          FROM reach rc JOIN edges e ON e.src = rc.id
+        ), cc AS (
+          SELECT id, MIN(root) AS rep FROM reach GROUP BY id
+        )
+        SELECT id AS doc_id,
+               CAST(rep AS BIGINT) AS cluster_rep,
+               CAST(COUNT(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size
+        FROM cc
+        ORDER BY doc_id
 """
 
 

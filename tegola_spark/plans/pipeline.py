@@ -542,6 +542,18 @@ FUSED_MAX_POLYS = 100_000
 # 258 vs 418 B/tile)
 STREAM_ENCODE_MIN_ROWS = 1_000_000
 
+# minimum parallelism for fused LOW-zoom assembly to pay off. The
+# fused-low kernel's task grain is the low-zoom tile-group count
+# (~85 at z0..3), so its win (no assemble exchange, fewer bytes) only
+# shows where the host is bandwidth-bound; at mid core counts the
+# legacy plan's finer salted-bucket tasks schedule better. Measured
+# mult=600 z0..10 alternated pairs: 32 cores fused 149.6/174.6 vs
+# legacy 169.3/197.9 (fused wins ~12%); 16 cores fused 301.1/307.0 vs
+# legacy 259.7/293.5 (fused LOSES ~14%). On a multi-executor cluster
+# total cores are large and shuffle bytes are the scarce resource, so
+# high-parallelism defaults to fused.
+FUSED_LOW_MIN_CORES = 24
+
 
 def fused_max_polys() -> int:
     env = os.environ.get("SPARK_GRAFT_FUSED_MAX_POLYS")
@@ -1414,7 +1426,7 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
         fl_env = os.environ.get("SPARK_GRAFT_FUSED_LOW")
         if fl_env is not None:
             fused_low = fl_env == "1"
-        else:
+        elif spark.sparkContext.defaultParallelism >= FUSED_LOW_MIN_CORES:
             n_low_docs = (docs.count() if docs is not None
                           else corpus.documents(spark, sf_dir).count())
             fused_low = n_low_docs * len(zooms_lo) >= STREAM_ENCODE_MIN_ROWS
