@@ -545,6 +545,47 @@ def q_similarity_ann_batch(spark, sf_dir):
         sequential=True)
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: exact-substring scan of the corpus
+    against a probe set (eval excerpts), broadcast nested-loop with
+    codegen locate(); the corpus never shuffles. Probes are derived
+    deterministically from the corpus itself (12-char excerpts of
+    three fixed docs — short enough that cross-document hits exist in
+    the synthetic corpus) so the oracle rebuilds the identical probe
+    set and replays every hit position."""
+    from tegola_spark.operators import decontam
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    probes = (docs.where(F.col("doc_id").isin(3, 57, 123))
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.substring("text", 10, 12).alias("probe")))
+    return (decontam.contamination_scan(docs, probes)
+            .orderBy("doc_id", "probe_id"))
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality filter: duplicate word-trigram
+    fraction (row-local array expressions) + top-bigram dominance (the
+    distributed word-count shape: explode -> groupBy(doc, bigram) with
+    map-side partial agg -> max per doc) + the published keep cuts.
+    Fractions round to 6 places so DuckDB replays values exactly."""
+    from tegola_spark.operators import quality_rep
+    from tegola_spark.sources import corpus
+
+    # the synthetic corpus is repetition-free, so every 11th doc gets
+    # a deterministic spam tail to exercise the drop branch (pure
+    # column expressions, replayed verbatim by the oracle)
+    docs = corpus.documents(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.col("text"),
+                        F.expr("repeat(' click here buy now', 40)")))
+         .otherwise(F.col("text")).alias("text"))
+    return quality_rep.repetition_scores(aug).orderBy("doc_id")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (emails / IPv4 / phone-like runs) — codegen
     regexp expressions only, sequential replacement, portable
@@ -835,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "pii_scrub": q_pii_scrub,
+        "repetition_filter": q_repetition_filter,
+        "contamination": q_contamination,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_portable": q_simhash_portable,
         "multimodal_decode": q_multimodal_decode,
@@ -1199,6 +1242,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
+        "repetition_filter": _REPETITION_FILTER_SQL,
+        "contamination": _CONTAMINATION_SQL,
         "simhash_portable": _simhash_portable_oracle(),
         "mvt_point_counts": _mvt_point_counts_oracle(range(0, 6)),
         "mvt_line_counts": _mvt_line_counts_oracle(range(0, 6)),
@@ -1669,6 +1714,74 @@ _TRIGRAM_JACCARD_SQL = r"""
         FROM tris a JOIN tris b ON a.doc_id < b.doc_id
         WHERE ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
                     greatest(len(list_distinct(a.g || b.g)), 1), 6) >= 0.6
+"""
+
+# Mirrors operators/decontam.py: identical probe derivation, 1-based
+# first-hit positions (DuckDB strpos == Spark locate semantics).
+_CONTAMINATION_SQL = r"""
+        WITH probes AS (
+          SELECT doc_id AS probe_id, substr(text, 10, 12) AS probe
+          FROM documents WHERE doc_id IN (3, 57, 123)
+        )
+        SELECT d.doc_id,
+               p.probe_id,
+               CAST(strpos(d.text, p.probe) AS BIGINT) AS first_pos
+        FROM documents d, probes p
+        WHERE strpos(d.text, p.probe) > 0
+        ORDER BY d.doc_id, p.probe_id
+"""
+
+# Mirrors operators/quality_rep.py: duplicate-trigram fraction from
+# the non-distinct trigram list, top-bigram dominance via the same
+# group-count-max plan, Gopher keep cuts (0.30 / 0.18).
+_REPETITION_FILTER_SQL = r"""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN text || repeat(' click here buy now', 40)
+                      ELSE text END AS text
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM aug
+        ), tg AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) >= 3 THEN
+                   [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    for i in range(1, len(w) - 1)]
+                 ELSE [] END AS tri,
+                 CASE WHEN len(w) >= 2 THEN
+                   [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                 ELSE [] END AS bi
+          FROM toks
+        ), base AS (
+          SELECT doc_id,
+                 CAST(len(tri) AS BIGINT) AS n_trigrams,
+                 ROUND(CASE WHEN len(tri) > 0 THEN
+                     1.0 - len(list_distinct(tri))::DOUBLE / len(tri)
+                   ELSE 0.0 END, 6) AS dup_trigram_frac,
+                 bi
+          FROM tg
+        ), counts AS (
+          SELECT doc_id, unnest(bi) AS bg FROM base
+        ), cg AS (
+          SELECT doc_id, bg, COUNT(*) AS c FROM counts GROUP BY doc_id, bg
+        ), top AS (
+          SELECT doc_id, MAX(c) AS top_bigram_count FROM cg GROUP BY doc_id
+        ), merged AS (
+          SELECT b.doc_id, b.n_trigrams, b.dup_trigram_frac,
+                 CAST(COALESCE(t.top_bigram_count, 0) AS BIGINT)
+                   AS top_bigram_count,
+                 ROUND(COALESCE(t.top_bigram_count, 0)::DOUBLE
+                       / (b.n_trigrams + 1), 6) AS top_bigram_frac
+          FROM base b LEFT JOIN top t USING (doc_id)
+        )
+        SELECT doc_id, n_trigrams, dup_trigram_frac, top_bigram_count,
+               top_bigram_frac,
+               (dup_trigram_frac <= 0.30 AND top_bigram_frac <= 0.18)
+                 AS keep
+        FROM merged
+        ORDER BY doc_id
 """
 
 # Same regex sources as operators/pii.py (portable Java/RE2/Python

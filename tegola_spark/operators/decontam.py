@@ -1,0 +1,46 @@
+"""Benchmark decontamination — find training documents that contain
+any probe string (eval-set excerpts) as an exact substring.
+
+Training corpora must be scrubbed of evaluation data; the standard
+first pass is an exact-substring scan of the corpus against a probe
+set drawn from the benchmarks.  The probe set is small (10⁴–10⁶ short
+strings) next to the corpus (10¹² docs), so the Spark-first plan is a
+broadcast nested-loop with the match predicate inside whole-stage
+codegen: every executor streams its corpus partition once past the
+in-memory probe table — no shuffle of corpus bytes at all.
+
+100 TB posture: cost is O(|corpus| × |probes|) substring scans, all
+JVM-side; the corpus never moves.  For probe sets too large to
+broadcast, the documented upgrade is the inverted n-gram join (shingle
+probes and corpus at a fixed k, equi-join on the shingle, verify the
+full substring on the collided pairs) — same output contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def contamination_scan(docs: DataFrame, probes: DataFrame,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """One row per (document, probe) hit with the 1-based position of
+    the first occurrence.  ``probes`` carries (probe_id, probe)."""
+    hits = (docs.select(id_col, text_col)
+            .crossJoin(F.broadcast(probes.select("probe_id", "probe")))
+            .withColumn("first_pos",
+                        F.expr(f"locate(probe, {text_col})").cast("long"))
+            .where(F.col("first_pos") > 0))
+    return hits.select(id_col, "probe_id", "first_pos")
+
+
+def contamination_summary(docs: DataFrame, probes: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document contamination verdict: hit count and the lowest
+    matching probe_id (deterministic evidence pointer)."""
+    hits = contamination_scan(docs, probes, text_col, id_col)
+    return (hits.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_probe_hits"),
+                 F.min("probe_id").alias("first_probe_id")))
