@@ -564,6 +564,24 @@ def q_contamination(spark, sf_dir):
             .orderBy("doc_id", "probe_id"))
 
 
+def q_contamination_shingled(spark, sf_dir):
+    """The large-probe-set decontamination plan: inverted k-gram
+    equi-join (corpus k-grams with positions x probes keyed by their
+    first k-gram, substring-verified at the collided position) — no
+    broadcast, shuffle on the gram key only. Same probe derivation and
+    oracle as `contamination`, so the two physical plans are proven
+    output-identical by the hard gate."""
+    from tegola_spark.operators import decontam
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    probes = (docs.where(F.col("doc_id").isin(3, 57, 123))
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.substring("text", 10, 12).alias("probe")))
+    return (decontam.contamination_scan_shingled(docs, probes, k=12)
+            .orderBy("doc_id", "probe_id"))
+
+
 def q_repetition_filter(spark, sf_dir):
     """Gopher-style repetition quality filter: duplicate word-trigram
     fraction (row-local array expressions) + top-bigram dominance (the
@@ -878,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition_filter": q_repetition_filter,
         "contamination": q_contamination,
+        "contamination_shingled": q_contamination_shingled,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_portable": q_simhash_portable,
         "multimodal_decode": q_multimodal_decode,
@@ -1244,6 +1263,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_SCRUB_SQL,
         "repetition_filter": _REPETITION_FILTER_SQL,
         "contamination": _CONTAMINATION_SQL,
+        "contamination_shingled": _CONTAMINATION_SQL,
         "simhash_portable": _simhash_portable_oracle(),
         "mvt_point_counts": _mvt_point_counts_oracle(range(0, 6)),
         "mvt_line_counts": _mvt_line_counts_oracle(range(0, 6)),

@@ -35,6 +35,43 @@ def contamination_scan(docs: DataFrame, probes: DataFrame,
     return hits.select(id_col, "probe_id", "first_pos")
 
 
+def contamination_scan_shingled(docs: DataFrame, probes: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                k: int | None = None) -> DataFrame:
+    """Same output contract as :func:`contamination_scan`, for probe
+    sets too large to broadcast: an inverted k-gram equi-join.
+
+    Each probe is keyed by its FIRST k characters (k = min probe
+    length by default — any document containing the probe necessarily
+    contains that k-gram at the match position, so recall is exact);
+    the corpus explodes its k-grams with positions, the shuffle join
+    lands on the k-gram key, and the full probe is verified in place
+    with a substring compare at the collided position.  No full-text
+    re-scan, no broadcast: both sides shuffle only on the gram key,
+    and the corpus side can be pre-filtered by a probe-gram bloom at
+    scan time.  Positions are 1-based to match ``locate``.
+    """
+    if k is None:
+        # model-sized driver read (one scalar), same posture as the
+        # IVF centroid reads
+        k = probes.agg(F.min(F.length("probe"))).collect()[0][0]
+    pg = probes.select("probe_id", "probe",
+                       F.substring("probe", 1, k).alias("gram"),
+                       F.length("probe").alias("plen"))
+    n_grams = F.length(F.col(text_col)) - F.lit(k) + 1
+    positions = F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)) \
+                 .otherwise(F.array().cast("array<int>"))
+    grams = (docs.select(id_col, text_col)
+             .withColumn("pos", F.explode(positions))
+             .withColumn("gram", F.expr(f"substring({text_col}, pos, {k})")))
+    hits = (grams.join(pg, "gram")
+            .where(F.expr(f"substring({text_col}, pos, plen) = probe")))
+    return (hits.groupBy(id_col, "probe_id")
+            .agg(F.min("pos").cast("long").alias("first_pos"))
+            .select(id_col, "probe_id", "first_pos"))
+
+
 def contamination_summary(docs: DataFrame, probes: DataFrame,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:

@@ -37,6 +37,25 @@ def test_summary_counts_and_evidence(spark):
     assert got == {0: (2, 100), 2: (1, 100), 3: (1, 200)}
 
 
+def test_shingled_matches_broadcast_scan(spark):
+    docs, probes = _mk(spark)
+    # min probe length is 8 ("lazy dog"), so the 15-char probe is
+    # keyed by its first 8 chars — exercises the partial-gram key
+    want = {(r["doc_id"], r["probe_id"]): r["first_pos"]
+            for r in decontam.contamination_scan(docs, probes).collect()}
+    got = {(r["doc_id"], r["probe_id"]): r["first_pos"]
+           for r in decontam.contamination_scan_shingled(
+               docs, probes).collect()}
+    assert got == want and len(want) == 4
+
+
+def test_shingled_short_doc_no_grams(spark):
+    docs = spark.createDataFrame([(0, "tiny")], "doc_id long, text string")
+    probes = spark.createDataFrame([(1, "longer probe")],
+                                   "probe_id long, probe string")
+    assert decontam.contamination_scan_shingled(docs, probes).count() == 0
+
+
 def test_broadcast_plan(spark):
     docs, probes = _mk(spark)
     plan = decontam.contamination_scan(docs, probes) \
