@@ -564,6 +564,53 @@ def q_contamination(spark, sf_dir):
             .orderBy("doc_id", "probe_id"))
 
 
+def _messy_urls(spark, sf_dir):
+    """Deterministically messy URLs over the documents table: the
+    pages() URL format plus rotating fragments / tracking params /
+    trailing slashes / uppercase schemes, all pure column expressions
+    the oracle replays verbatim."""
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://"))
+    suffix = (F.when(d % 5 == 0, F.lit("?utm_source=feed&utm_campaign=x#top"))
+              .when(d % 5 == 1, F.concat(F.lit("?id="),
+                                         (d % 7).cast("string"),
+                                         F.lit("&utm_medium=email")))
+              .when(d % 5 == 2, F.lit("#section-2"))
+              .when(d % 5 == 3, F.lit("/"))
+              .otherwise(F.lit("")))
+    return docs.select(
+        "doc_id", "text", "lang",
+        F.concat(scheme, F.col("source"), F.lit(".example.com/"),
+                 F.col("lang"), F.lit("/"), d.cast("string"),
+                 suffix).alias("url"))
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization — fragment/tracking-param/port/trailing-
+    slash/scheme+host-case normalization as ordered portable
+    regexp_replace steps (urls.canonicalize_url_col); the oracle
+    replays every step in RE2 dialect, so each rule's exact output is
+    hash-checked."""
+    from tegola_spark.operators import urls
+
+    return (urls.canonicalize(_messy_urls(spark, sf_dir))
+            .select("doc_id", "url_canon", "host")
+            .orderBy("doc_id"))
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain rollup over canonical URLs (source-level filtering
+    signal): page / distinct-URL / language counts and text volume,
+    one partial-agg groupBy on the extracted host."""
+    from tegola_spark.operators import urls
+
+    return (urls.domain_stats(_messy_urls(spark, sf_dir))
+            .orderBy("host"))
+
+
 def q_contamination_shingled(spark, sf_dir):
     """The large-probe-set decontamination plan: inverted k-gram
     equi-join (corpus k-grams with positions x probes keyed by their
@@ -897,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "contamination": q_contamination,
         "contamination_shingled": q_contamination_shingled,
+        "url_canonical": q_url_canonical,
+        "domain_stats": q_domain_stats,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_portable": q_simhash_portable,
         "multimodal_decode": q_multimodal_decode,
@@ -1264,6 +1313,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_filter": _REPETITION_FILTER_SQL,
         "contamination": _CONTAMINATION_SQL,
         "contamination_shingled": _CONTAMINATION_SQL,
+        "url_canonical": _URL_CANONICAL_SQL,
+        "domain_stats": _DOMAIN_STATS_SQL,
         "simhash_portable": _simhash_portable_oracle(),
         "mvt_point_counts": _mvt_point_counts_oracle(range(0, 6)),
         "mvt_line_counts": _mvt_line_counts_oracle(range(0, 6)),
@@ -1734,6 +1785,66 @@ _TRIGRAM_JACCARD_SQL = r"""
         FROM tris a JOIN tris b ON a.doc_id < b.doc_id
         WHERE ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
                     greatest(len(list_distinct(a.g || b.g)), 1), 6) >= 0.6
+"""
+
+# Mirrors operators/urls.py step for step in RE2 dialect ('g' flag =
+# Spark's replace-all; \1 backrefs = Java's $1). The messy CTE is the
+# _messy_urls derivation verbatim.
+_MESSY_URLS_CTE = r"""
+        messy AS (
+          SELECT doc_id, text, lang,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+                       ELSE 'https://' END)
+                 || source || '.example.com/' || lang || '/'
+                 || CAST(doc_id AS VARCHAR)
+                 || (CASE doc_id % 5
+                     WHEN 0 THEN '?utm_source=feed&utm_campaign=x#top'
+                     WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                                 || '&utm_medium=email'
+                     WHEN 2 THEN '#section-2'
+                     WHEN 3 THEN '/'
+                     ELSE '' END) AS url
+          FROM documents
+        ), c1 AS (
+          SELECT doc_id, text, lang,
+                 regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(url,
+                   '#.*$', '', 'g'),
+                   '(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&]*&', '', 'g'),
+                   '[?&](utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&]*$', '', 'g'),
+                   '\?&', '?', 'g'),
+                   '^([A-Za-z]+://[^/:]*):(?:80|443)(/|$)', '\1\2', 'g'),
+                   '([^/])/$', '\1', 'g') AS c
+          FROM messy
+        ), canon AS (
+          SELECT doc_id, text, lang,
+                 lower(regexp_extract(c, '^[A-Za-z]+://[^/]*'))
+                   || substr(c, length(regexp_extract(
+                        c, '^[A-Za-z]+://[^/]*')) + 1) AS url_canon
+          FROM c1
+        ), hosted AS (
+          SELECT doc_id, text, lang, url_canon,
+                 lower(regexp_extract(url_canon,
+                       '^[A-Za-z]+://(?:[^/@]*@)?([^/:]*)', 1)) AS host
+          FROM canon
+        )
+"""
+
+_URL_CANONICAL_SQL = rf"""
+        WITH {_MESSY_URLS_CTE}
+        SELECT doc_id, url_canon, host FROM hosted ORDER BY doc_id
+"""
+
+_DOMAIN_STATS_SQL = rf"""
+        WITH {_MESSY_URLS_CTE}
+        SELECT host,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(COUNT(DISTINCT url_canon) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        FROM hosted
+        GROUP BY host
+        ORDER BY host
 """
 
 # Mirrors operators/decontam.py: identical probe derivation, 1-based
