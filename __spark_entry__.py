@@ -611,6 +611,26 @@ def q_domain_stats(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_pack_bins(spark, sf_dir):
+    """Sequence packing: global token offsets via the two-level
+    distributed prefix-sum (partition-local windows + broadcast
+    partition offsets — no single-partition global window), then
+    bin_id = offset DIV 4096. The oracle computes the same semantics
+    with a flat SQL running sum, so the distributed decomposition is
+    proven bit-equal to the sequential definition."""
+    from tegola_spark.operators import packing, textstats
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir).select(
+        "doc_id",
+        textstats.col_token_count(F.col("text")).cast("long")
+        .alias("n_tokens"))
+    return (packing.pack_bins(docs, 4096)
+            .select("doc_id", "n_tokens", "token_offset", "bin_id",
+                    "bin_offset")
+            .orderBy("doc_id"))
+
+
 def q_contamination_shingled(spark, sf_dir):
     """The large-probe-set decontamination plan: inverted k-gram
     equi-join (corpus k-grams with positions x probes keyed by their
@@ -946,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_shingled": q_contamination_shingled,
         "url_canonical": q_url_canonical,
         "domain_stats": q_domain_stats,
+        "pack_bins": q_pack_bins,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_portable": q_simhash_portable,
         "multimodal_decode": q_multimodal_decode,
@@ -1315,6 +1336,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_shingled": _CONTAMINATION_SQL,
         "url_canonical": _URL_CANONICAL_SQL,
         "domain_stats": _DOMAIN_STATS_SQL,
+        "pack_bins": _PACK_BINS_SQL,
         "simhash_portable": _simhash_portable_oracle(),
         "mvt_point_counts": _mvt_point_counts_oracle(range(0, 6)),
         "mvt_line_counts": _mvt_line_counts_oracle(range(0, 6)),
@@ -1785,6 +1807,31 @@ _TRIGRAM_JACCARD_SQL = r"""
         FROM tris a JOIN tris b ON a.doc_id < b.doc_id
         WHERE ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
                     greatest(len(list_distinct(a.g || b.g)), 1), 6) >= 0.6
+"""
+
+# The sequential definition of operators/packing.py's distributed
+# prefix-sum: one flat running sum in doc_id order (token-count expr
+# identical to the token_stats oracle).
+_PACK_BINS_SQL = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END AS BIGINT) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS token_offset
+          FROM t
+        )
+        SELECT doc_id, n_tokens, token_offset,
+               token_offset // 4096 AS bin_id,
+               token_offset % 4096 AS bin_offset
+        FROM c
+        ORDER BY doc_id
 """
 
 # Mirrors operators/urls.py step for step in RE2 dialect ('g' flag =
