@@ -27,6 +27,20 @@ def test_canonicalize_cases(spark):
         assert got[i] == (canon, host), (CASES[i][0], got[i])
 
 
+def test_canonicalize_idempotent(spark):
+    # canon(canon(x)) == canon(x) — the invariant that makes the
+    # canonical URL a safe dedup key across pipeline stages
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(CASES)],
+        "doc_id long, url string")
+    once = urls.canonicalize(df).select(
+        "doc_id", F.col("url_canon").alias("url"))
+    twice = urls.canonicalize(once)
+    rows = twice.select("doc_id", "url", "url_canon").collect()
+    for r in rows:
+        assert r["url_canon"] == r["url"], r
+
+
 def test_domain_stats_dedup_gap(spark):
     # two messy spellings of ONE page + a distinct page on another host
     rows = [
