@@ -611,6 +611,39 @@ def q_domain_stats(spark, sf_dir):
             .orderBy("host"))
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """FAISS-style SQ8 scalar quantization: per-vector scale =
+    max|v|/127 (a max + ONE division — no accumulation order to
+    diverge), q_i = floor(v/scale + 0.5) (explicit floor, engines
+    disagree on round-half). The int8 codes are pinned via md5 of the
+    joined array plus their exact sum; the raw double scale hashes
+    exactly."""
+    from tegola_spark.operators import quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qt = quantize.sq8_quantize(emb)
+    return (qt.select(
+        "vec_id", "scale",
+        F.md5(F.concat_ws(",", F.transform(
+            "q8", lambda x: x.cast("string"))).cast("binary"))
+        .alias("q8_md5"),
+        F.expr("aggregate(q8, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+        .alias("q8_sum"))
+        .orderBy("vec_id"))
+
+
+def q_similarity_sq8(spark, sf_dir):
+    """Asymmetric-distance top-k over the SQ8-quantized corpus:
+    full-precision queries, candidates dequantized in the score
+    expression (q_i * scale) — the memory-for-recall trade the IVF/LSH
+    family completes. Sequential-fold dot products, so the oracle
+    replays scores bit-for-bit before the r6 rounding."""
+    from tegola_spark.operators import quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize.sq8_topk(emb, SIM_QUERY_IDS, k=5)
+
+
 def q_pack_bins(spark, sf_dir):
     """Sequence packing: global token offsets via the two-level
     distributed prefix-sum (partition-local windows + broadcast
@@ -967,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "domain_stats": q_domain_stats,
         "pack_bins": q_pack_bins,
+        "embedding_quantize": q_embedding_quantize,
+        "similarity_sq8": q_similarity_sq8,
         "simhash_fingerprints": q_simhash_fingerprints,
         "simhash_portable": q_simhash_portable,
         "multimodal_decode": q_multimodal_decode,
@@ -1337,6 +1372,8 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _URL_CANONICAL_SQL,
         "domain_stats": _DOMAIN_STATS_SQL,
         "pack_bins": _PACK_BINS_SQL,
+        "embedding_quantize": _SQ8_QUANTIZE_SQL,
+        "similarity_sq8": _sq8_topk_oracle(),
         "simhash_portable": _simhash_portable_oracle(),
         "mvt_point_counts": _mvt_point_counts_oracle(range(0, 6)),
         "mvt_line_counts": _mvt_line_counts_oracle(range(0, 6)),
@@ -1808,6 +1845,70 @@ _TRIGRAM_JACCARD_SQL = r"""
         WHERE ROUND(len(list_intersect(a.g, b.g))::DOUBLE /
                     greatest(len(list_distinct(a.g || b.g)), 1), 6) >= 0.6
 """
+
+# Mirrors operators/quantize.py exactly: max+divide scale,
+# floor(x+0.5) codes, explicit int->double promotion, the proven
+# list_aggregate('sum') sequential fold for ADC scores.
+_SQ8_BASE_CTE = r"""
+        e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ), s AS (
+          SELECT vec_id, e,
+                 list_aggregate(list_transform(e, x -> abs(x)), 'max')
+                   / 127.0 AS scale
+          FROM e
+        ), qz AS (
+          SELECT vec_id, scale,
+                 CASE WHEN scale > 0 THEN
+                   list_transform(e, x -> CAST(floor(x / scale + 0.5)
+                                               AS INTEGER))
+                 ELSE list_transform(e, x -> 0) END AS q8
+          FROM s
+        )
+"""
+
+_SQ8_QUANTIZE_SQL = rf"""
+        WITH {_SQ8_BASE_CTE}
+        SELECT vec_id, scale,
+               md5(array_to_string(q8, ',')) AS q8_md5,
+               CAST(list_aggregate(q8, 'sum') AS BIGINT) AS q8_sum
+        FROM qz
+        ORDER BY vec_id
+"""
+
+
+def _sq8_topk_oracle(k: int = 5) -> str:
+    ids = ",".join(map(str, SIM_QUERY_IDS))
+    dot = ("list_aggregate(list_transform(list_zip({a}, {b}), "
+           "x -> x[1] * x[2]), 'sum')")
+    return rf"""
+        WITH {_SQ8_BASE_CTE}, dq AS (
+          SELECT vec_id,
+                 list_transform(q8, qi -> CAST(qi AS DOUBLE) * scale) AS dq
+          FROM qz
+        ), qry AS (
+          SELECT vec_id AS query_id, e AS qemb,
+                 sqrt({dot.format(a='e', b='e')}) AS qnorm
+          FROM e WHERE vec_id IN ({ids})
+        ), scored AS (
+          SELECT qry.query_id, d.vec_id AS neighbor_id,
+                 {dot.format(a='d.dq', b='qry.qemb')}
+                   / (qry.qnorm * sqrt({dot.format(a='d.dq', b='d.dq')}))
+                   AS score
+          FROM dq d, qry WHERE d.vec_id <> qry.query_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               ROUND(score, 6) AS score_r6
+        FROM ranked WHERE rank <= {k}
+    """
+
 
 # The sequential definition of operators/packing.py's distributed
 # prefix-sum: one flat running sum in doc_id order (token-count expr
