@@ -611,6 +611,50 @@ def q_domain_stats(spark, sf_dir):
             .orderBy("host"))
 
 
+# 8-word shared footer prepended to every doc so the span-dedup
+# operators are provably exercised (the word-soup corpus has almost no
+# organic cross-doc 8-gram collisions); the oracle prepends the same.
+_BOILER = "subscribe to our newsletter for daily updates today"
+
+
+def _boilered_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.withColumn(
+        "text", F.concat(F.lit(_BOILER + " "), F.col("text")))
+
+
+def q_span_dedup(spark, sf_dir):
+    """Cross-doc span-level exact dedup (Lee et al. 2022 at 8-word
+    chunk granularity): keep only the globally-first occurrence of
+    each distinct chunk, reassemble surviving text in order. Only thin
+    (md5, id, pos) triples cross the dedup exchange; text crosses one
+    exchange total (operators/dedup.py span_dedup docstring)."""
+    from tegola_spark.operators import dedup
+
+    return (dedup.span_dedup(_boilered_docs(spark, sf_dir))
+            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+
+
+def q_boilerplate_spans(spark, sf_dir):
+    """CCNet/C4-style boilerplate removal: any 8-word chunk appearing
+    in >= 250 distinct documents (the injected footer) is dropped from
+    EVERY document, including its first occurrence."""
+    from tegola_spark.operators import dedup
+
+    return (dedup.span_dedup(_boilered_docs(spark, sf_dir), max_df=250)
+            .withColumnRenamed("id", "doc_id").orderBy("doc_id"))
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus word-frequency vocabulary (tokenizer prep): top-100
+    whitespace tokens with deterministic ties (count desc, word asc);
+    one word-key shuffle with map-side partial aggregation."""
+    from tegola_spark.operators import textstats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.vocab_topk(docs, k=100)
+
+
 def q_embedding_quantize(spark, sf_dir):
     """FAISS-style SQ8 scalar quantization: per-vector scale =
     max|v|/127 (a max + ONE division — no accumulation order to
@@ -999,6 +1043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_shingled": q_contamination_shingled,
         "url_canonical": q_url_canonical,
         "domain_stats": q_domain_stats,
+        "span_dedup": q_span_dedup,
+        "boilerplate_spans": q_boilerplate_spans,
+        "vocab_topk": q_vocab_topk,
         "pack_bins": q_pack_bins,
         "embedding_quantize": q_embedding_quantize,
         "similarity_sq8": q_similarity_sq8,
@@ -1371,6 +1418,9 @@ def oracle_sql() -> dict[str, str]:
         "contamination_shingled": _CONTAMINATION_SQL,
         "url_canonical": _URL_CANONICAL_SQL,
         "domain_stats": _DOMAIN_STATS_SQL,
+        "span_dedup": _SPAN_DEDUP_SQL,
+        "boilerplate_spans": _BOILERPLATE_SPANS_SQL,
+        "vocab_topk": _VOCAB_TOPK_SQL,
         "pack_bins": _PACK_BINS_SQL,
         "embedding_quantize": _SQ8_QUANTIZE_SQL,
         "similarity_sq8": _sq8_topk_oracle(),
@@ -1993,6 +2043,79 @@ _DOMAIN_STATS_SQL = rf"""
         FROM hosted
         GROUP BY host
         ORDER BY host
+"""
+
+# Mirrors operators/dedup.py span_dedup: 8-word non-overlapping chunks
+# over footer-prepended text; DuckDB zips parallel unnests to recover
+# (pos, span) since WITH ORDINALITY is unavailable. string_split keeps
+# empty tokens exactly like Spark's F.split, and list_slice past the
+# list end truncates exactly like F.slice.
+_SPAN_CTE = """
+        WITH d AS (
+          SELECT doc_id,
+                 'subscribe to our newsletter for daily updates today '
+                   || text AS text
+          FROM documents
+        ), wl AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM d
+        ), sl AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(CAST(ceil(len(ws)/8.0) AS BIGINT)),
+                   i -> array_to_string(
+                          list_slice(ws, CAST(i*8+1 AS BIGINT),
+                                     CAST(i*8+8 AS BIGINT)), ' ')) AS spans
+          FROM wl
+        ), ex AS (
+          SELECT doc_id,
+                 CAST(unnest(range(len(spans))) AS INT) AS pos,
+                 unnest(spans) AS span
+          FROM sl
+        )
+"""
+
+_SPAN_DEDUP_SQL = f"""
+        {_SPAN_CTE},
+        marked AS (
+          SELECT doc_id, pos, span,
+                 (ROW_NUMBER() OVER (PARTITION BY md5(span)
+                                     ORDER BY doc_id, pos) = 1) AS keep
+          FROM ex
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               COALESCE(string_agg(CASE WHEN keep THEN span END,
+                                   ' ' ORDER BY pos), '') AS text_dedup
+        FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+_BOILERPLATE_SPANS_SQL = f"""
+        {_SPAN_CTE},
+        dfreq AS (
+          SELECT md5(span) AS h, COUNT(DISTINCT doc_id) AS df
+          FROM ex GROUP BY 1
+        ),
+        marked AS (
+          SELECT e.doc_id, e.pos, e.span, (f.df < 250) AS keep
+          FROM ex e JOIN dfreq f ON md5(e.span) = f.h
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               COALESCE(string_agg(CASE WHEN keep THEN span END,
+                                   ' ' ORDER BY pos), '') AS text_dedup
+        FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+_VOCAB_TOPK_SQL = """
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY word ORDER BY n DESC, word LIMIT 100
 """
 
 # Mirrors operators/decontam.py: identical probe derivation, 1-based

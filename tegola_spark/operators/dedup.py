@@ -317,3 +317,64 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return cand.withColumn("hamming", ham).where(ham <= max_hamming) \
                .select("id_a", "id_b", "hamming")
+
+
+def span_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               span_words: int = 8, max_df: int | None = None) -> DataFrame:
+    """Cross-document span-level dedup / boilerplate removal.
+
+    Splits each document into non-overlapping ``span_words``-word
+    chunks and removes duplicated chunks corpus-wide — the
+    chunk-granularity form of exact-substring training-data dedup
+    (Lee et al. 2022) and, in ``max_df`` mode, the CCNet/C4
+    boilerplate rule (drop text repeated across many pages):
+
+      * ``max_df=None`` (dedup mode): keep only the globally FIRST
+        occurrence of each distinct chunk, ordered by (doc, position).
+      * ``max_df=T`` (boilerplate mode): drop every occurrence of any
+        chunk appearing in >= T distinct documents (headers, footers,
+        nav text survive nowhere, not even once).
+
+    Returns (id, n_spans, n_kept, text_dedup) — the per-doc chunk
+    counts and the surviving text reassembled in original order.
+
+    Scale plan (the reason this isn't the naive explode->window->
+    re-agg): only THIN (md5, id, pos) triples ever cross the dedup
+    exchange — span text is never exploded across the wire. The keep
+    decisions collapse to a doc-count-sized frame of kept-position
+    arrays, and the reassembly join recomputes spans from the
+    document-side projection, so full text crosses exactly ONE
+    exchange (the reassembly sort-merge join) instead of two. The
+    dedup exchange itself carries ~40-byte rows regardless of span
+    width; map-side partial aggregation applies in max_df mode.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    n_spans_c = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
+    spans_c = F.transform(
+        F.sequence(F.lit(0), n_spans_c - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * span_words + 1, span_words), " "))
+    base = df.select(F.col(id_col).alias("id"), spans_c.alias("_spans"))
+    thin = (base.select("id", F.posexplode("_spans").alias("pos", "_span"))
+                .select("id", "pos", F.md5("_span").alias("h")))
+    if max_df is None:
+        w = Window.partitionBy("h").orderBy("id", "pos")
+        decisions = thin.withColumn("keep", F.row_number().over(w) == 1)
+    else:
+        dfreq = thin.groupBy("h").agg(F.countDistinct("id").alias("_df"))
+        decisions = (thin.join(dfreq, "h")
+                         .withColumn("keep", F.col("_df") < max_df))
+    kept = decisions.groupBy("id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("keep"), F.col("pos")))
+        ).alias("_kept_pos"))
+    spans_ref = F.col("_spans")
+    return base.join(kept, "id").select(
+        "id", "n_spans", "n_kept",
+        F.array_join(
+            F.transform(F.col("_kept_pos"), lambda p: F.get(spans_ref, p)),
+            " ").alias("text_dedup"))

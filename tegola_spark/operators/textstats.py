@@ -132,3 +132,16 @@ def fingerprint_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
         "fp_exact": F.md5(c.cast("binary")),
         "fp_norm": F.md5(normalize_text_col(c).cast("binary")),
     })
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus word-frequency vocabulary (tokenizer-training prep):
+    whitespace tokens -> global counts -> top-k with a deterministic
+    total order (count desc, word asc). One shuffle on the word key
+    with map-side partial aggregation; the orderBy+limit runs over the
+    distinct-vocab-sized frame only (TakeOrderedAndProject), so the
+    driver sees k rows, never the corpus."""
+    w = df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    counts = (w.where(F.col("word") != "")
+                .groupBy("word").agg(F.count("*").alias("n")))
+    return counts.orderBy(F.desc("n"), "word").limit(k)
