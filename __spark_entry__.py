@@ -655,6 +655,35 @@ def q_vocab_topk(spark, sf_dir):
     return textstats.vocab_topk(docs, k=100)
 
 
+def _asof_inputs(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = ["event_id", "user_id", "ts", "value"]
+    return (ev.where(F.col("event_type") == "purchase").select(cols),
+            ev.where(F.col("event_type") == "click").select(cols))
+
+
+def q_asof_attribution(spark, sf_dir):
+    """Backward as-of join (engine extra — absent from both tegola and
+    Spark's API): each purchase matched to the user's latest click at
+    or before it, via union + ONE key exchange + running
+    last(ignorenulls) window — no equi-join blow-up
+    (operators/temporal.py)."""
+    from tegola_spark.operators import temporal
+
+    left, right = _asof_inputs(spark, sf_dir)
+    return temporal.asof_join(left, right).orderBy("event_id")
+
+
+def q_asof_attribution_tol(spark, sf_dir):
+    """As-of join with a 24h tolerance: the latest prior click only
+    counts within the attribution window; stale matches revert to
+    nulls while the purchase row survives (LEFT semantics)."""
+    from tegola_spark.operators import temporal
+
+    left, right = _asof_inputs(spark, sf_dir)
+    return temporal.asof_join(left, right, tolerance_s=86400).orderBy("event_id")
+
+
 def q_embedding_quantize(spark, sf_dir):
     """FAISS-style SQ8 scalar quantization: per-vector scale =
     max|v|/127 (a max + ONE division — no accumulation order to
@@ -1046,6 +1075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "boilerplate_spans": q_boilerplate_spans,
         "vocab_topk": q_vocab_topk,
+        "asof_attribution": q_asof_attribution,
+        "asof_attribution_tol": q_asof_attribution_tol,
         "pack_bins": q_pack_bins,
         "embedding_quantize": q_embedding_quantize,
         "similarity_sq8": q_similarity_sq8,
@@ -1421,6 +1452,8 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _SPAN_DEDUP_SQL,
         "boilerplate_spans": _BOILERPLATE_SPANS_SQL,
         "vocab_topk": _VOCAB_TOPK_SQL,
+        "asof_attribution": _ASOF_SQL,
+        "asof_attribution_tol": _ASOF_TOL_SQL,
         "pack_bins": _PACK_BINS_SQL,
         "embedding_quantize": _SQ8_QUANTIZE_SQL,
         "similarity_sq8": _sq8_topk_oracle(),
@@ -2109,6 +2142,29 @@ _BOILERPLATE_SPANS_SQL = f"""
                                    ' ' ORDER BY pos), '') AS text_dedup
         FROM marked GROUP BY doc_id ORDER BY doc_id
 """
+
+# Mirrors operators/temporal.py asof_join tie semantics: inclusive
+# (r.ts <= l.ts), greatest (ts, event_id) wins. The tolerance variant's
+# window predicate lives in the ON clause so unmatched left rows keep
+# LEFT-join nulls; since all prior clicks are older than the latest
+# one, in-ON filtering equals the engine's match-then-null-out.
+_ASOF_SQL_TMPL = """
+        WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'purchase'),
+             r AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'click')
+        SELECT l.event_id, l.user_id, l.ts, l.value,
+               r.ts AS r_ts, r.event_id AS r_event_id, r.value AS r_value
+        FROM l LEFT JOIN r
+          ON l.user_id = r.user_id AND r.ts <= l.ts{tol_pred}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY l.event_id
+                                   ORDER BY r.ts DESC, r.event_id DESC) = 1
+        ORDER BY l.event_id
+"""
+
+_ASOF_SQL = _ASOF_SQL_TMPL.format(tol_pred="")
+_ASOF_TOL_SQL = _ASOF_SQL_TMPL.format(
+    tol_pred=" AND r.ts >= l.ts - INTERVAL 86400 SECOND")
 
 _VOCAB_TOPK_SQL = """
         SELECT word, CAST(COUNT(*) AS BIGINT) AS n
