@@ -684,6 +684,45 @@ def q_asof_attribution_tol(spark, sf_dir):
     return temporal.asof_join(left, right, tolerance_s=86400).orderBy("event_id")
 
 
+def q_interval_join(spark, sf_dir):
+    """Keyless point-in-interval range join (clicks during high-value
+    error incidents): 1-D cover-cell quantization + equi-join on the
+    cell + exact residual — each point lands in ONE cell so every pair
+    materializes at most once, no dedup pass (operators/temporal.py
+    interval_join; the temporal analog of the spatial cover-cell
+    join)."""
+    from tegola_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    points = (ev.where(F.col("event_type") == "click")
+                .select(F.col("event_id").alias("click_id"), "ts",
+                        F.col("value").alias("click_value")))
+    intervals = (ev.where((F.col("event_type") == "error") &
+                          (F.col("value") > 95))
+                 .select(F.col("event_id").alias("incident_id"),
+                         F.col("ts").alias("t_start"),
+                         (F.col("ts") + F.expr("INTERVAL 6 HOUR")).alias("t_end")))
+    return (temporal.interval_join(points, intervals)
+            .select("click_id", "ts", "click_value", "incident_id", "t_start")
+            .orderBy("click_id", "incident_id"))
+
+
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate cascade: minute buckets
+    aggregate raw events once; hour re-aggregates minute partials, day
+    re-aggregates hours (sum-of-sums / min-of-mins / count-of-counts).
+    The oracle computes every level DIRECTLY from raw events, so the
+    hash gate proves the cascade decomposition exact at all levels."""
+    from tegola_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (temporal.time_rollup(ev)
+            .select("level_s", "bucket", "n_events",
+                    F.round("sum_value", 6).alias("sum_value"),
+                    "min_value", "max_value")
+            .orderBy("level_s", "bucket"))
+
+
 def q_embedding_quantize(spark, sf_dir):
     """FAISS-style SQ8 scalar quantization: per-vector scale =
     max|v|/127 (a max + ONE division — no accumulation order to
@@ -1077,6 +1116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "asof_attribution": q_asof_attribution,
         "asof_attribution_tol": q_asof_attribution_tol,
+        "interval_join": q_interval_join,
+        "time_rollup": q_time_rollup,
         "pack_bins": q_pack_bins,
         "embedding_quantize": q_embedding_quantize,
         "similarity_sq8": q_similarity_sq8,
@@ -1454,6 +1495,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _VOCAB_TOPK_SQL,
         "asof_attribution": _ASOF_SQL,
         "asof_attribution_tol": _ASOF_TOL_SQL,
+        "interval_join": _INTERVAL_JOIN_SQL,
+        "time_rollup": _TIME_ROLLUP_SQL,
         "pack_bins": _PACK_BINS_SQL,
         "embedding_quantize": _SQ8_QUANTIZE_SQL,
         "similarity_sq8": _sq8_topk_oracle(),
@@ -2165,6 +2208,40 @@ _ASOF_SQL_TMPL = """
 _ASOF_SQL = _ASOF_SQL_TMPL.format(tol_pred="")
 _ASOF_TOL_SQL = _ASOF_SQL_TMPL.format(
     tol_pred=" AND r.ts >= l.ts - INTERVAL 86400 SECOND")
+
+_INTERVAL_JOIN_SQL = """
+        WITH p AS (SELECT event_id AS click_id, ts, value AS click_value
+                   FROM events WHERE event_type = 'click'),
+             iv AS (SELECT event_id AS incident_id, ts AS t_start,
+                           ts + INTERVAL 6 HOUR AS t_end
+                    FROM events WHERE event_type = 'error' AND value > 95)
+        SELECT p.click_id, p.ts, p.click_value, iv.incident_id, iv.t_start
+        FROM p JOIN iv ON p.ts >= iv.t_start AND p.ts < iv.t_end
+        ORDER BY p.click_id, iv.incident_id
+"""
+
+# Every level computed DIRECTLY from raw events — the engine's cascade
+# (minute partials -> hour -> day) must reproduce these exactly.
+_TIME_ROLLUP_SQL = """
+        SELECT * FROM (
+          SELECT 60 AS level_s,
+                 CAST(FLOOR(epoch(ts) / 60) AS BIGINT) AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 ROUND(SUM(value), 6) AS sum_value,
+                 MIN(value) AS min_value, MAX(value) AS max_value
+          FROM events GROUP BY 2
+          UNION ALL
+          SELECT 3600, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT),
+                 CAST(COUNT(*) AS BIGINT), ROUND(SUM(value), 6),
+                 MIN(value), MAX(value)
+          FROM events GROUP BY 2
+          UNION ALL
+          SELECT 86400, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT),
+                 CAST(COUNT(*) AS BIGINT), ROUND(SUM(value), 6),
+                 MIN(value), MAX(value)
+          FROM events GROUP BY 2
+        ) ORDER BY level_s, bucket
+"""
 
 _VOCAB_TOPK_SQL = """
         SELECT word, CAST(COUNT(*) AS BIGINT) AS n
