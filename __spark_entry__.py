@@ -723,6 +723,24 @@ def q_time_rollup(spark, sf_dir):
             .orderBy("level_s", "bucket"))
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Engine-portable HyperLogLog distinct sketch (2 KB fixed state
+    per group, map-side max-combine) — deterministic by construction
+    (integer leading-zero counts via base conversion, exact BIGINT
+    register sums; operators/sketch.py), so unlike Spark's own HLL++
+    it sits under the hard DuckDB hash gate. Two metrics exercise both
+    estimator branches: user_id (~150 distinct -> linear counting),
+    event_id (~2000 -> raw harmonic estimate)."""
+    from tegola_spark.operators import sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = (sketch.hll_distinct(ev, "event_type", "user_id")
+             .withColumn("metric", F.lit("users")))
+    evts = (sketch.hll_distinct(ev, "event_type", "event_id")
+            .withColumn("metric", F.lit("events")))
+    return users.unionByName(evts).orderBy("metric", "event_type")
+
+
 def q_embedding_quantize(spark, sf_dir):
     """FAISS-style SQ8 scalar quantization: per-vector scale =
     max|v|/127 (a max + ONE division — no accumulation order to
@@ -1118,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution_tol": q_asof_attribution_tol,
         "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
+        "hll_distinct": q_hll_distinct,
         "pack_bins": q_pack_bins,
         "embedding_quantize": q_embedding_quantize,
         "similarity_sq8": q_similarity_sq8,
@@ -1497,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_attribution_tol": _ASOF_TOL_SQL,
         "interval_join": _INTERVAL_JOIN_SQL,
         "time_rollup": _TIME_ROLLUP_SQL,
+        "hll_distinct": _HLL_DISTINCT_SQL,
         "pack_bins": _PACK_BINS_SQL,
         "embedding_quantize": _SQ8_QUANTIZE_SQL,
         "similarity_sq8": _sq8_topk_oracle(),
@@ -2242,6 +2262,54 @@ _TIME_ROLLUP_SQL = """
           FROM events GROUP BY 2
         ) ORDER BY level_s, bucket
 """
+
+# Mirrors operators/sketch.py hll_distinct: md5 bucket byte, integer
+# leading-zero rho via bin() length (never floor(log2)), exact BIGINT
+# harmonic sums with empty registers contributing 2^53 each, identical
+# literal arithmetic for alpha/raw estimate, linear-counting fallback.
+def _hll_oracle_one(value_expr: str, metric: str) -> str:
+    return f"""
+          SELECT event_type, n_registers,
+                 ROUND(CASE WHEN raw_e <= 640.0 AND n_registers < 256
+                            THEN 256.0 * ln(256.0 /
+                                   CAST(256 - n_registers AS DOUBLE))
+                            ELSE raw_e END, 6) AS hll_est,
+                 '{metric}' AS metric
+          FROM (
+            SELECT event_type, n_registers,
+                   (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                     * 9007199254740992.0
+                     / CAST(sum_inv + (256 - n_registers)
+                            * (1::BIGINT << 53) AS DOUBLE) AS raw_e
+            FROM (
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_registers,
+                     SUM(1::BIGINT << (53 - r)) AS sum_inv
+              FROM (
+                SELECT event_type, bucket, MAX(rho) AS r
+                FROM (
+                  SELECT event_type,
+                         CAST(CONCAT('0x', substr(hh, 1, 2)) AS INTEGER)
+                           AS bucket,
+                         CASE WHEN CAST(CONCAT('0x', substr(hh, 3, 13))
+                                        AS BIGINT) = 0 THEN 53
+                              ELSE 53 - length(bin(CAST(CONCAT('0x',
+                                     substr(hh, 3, 13)) AS BIGINT)))
+                         END AS rho
+                  FROM (SELECT event_type,
+                               md5(CAST({value_expr} AS VARCHAR)) AS hh
+                        FROM events)
+                ) GROUP BY 1, 2
+              ) GROUP BY 1
+            )
+          )
+"""
+
+
+_HLL_DISTINCT_SQL = (
+    "SELECT * FROM (" + _hll_oracle_one("user_id", "users")
+    + " UNION ALL " + _hll_oracle_one("event_id", "events")
+    + ") ORDER BY metric, event_type")
 
 _VOCAB_TOPK_SQL = """
         SELECT word, CAST(COUNT(*) AS BIGINT) AS n
