@@ -741,6 +741,32 @@ def q_hll_distinct(spark, sf_dir):
     return users.unionByName(evts).orderBy("metric", "event_type")
 
 
+def q_value_quantiles(spark, sf_dir):
+    """Exact per-group type-1 quantiles (p50/p90/p99 of event value):
+    one window sort per group + broadcast rank-target selection —
+    deterministic even under value ties because the k-th order
+    statistic is unique (operators/stats.py; the exact counterpart to
+    percentile_approx, whose GK sketch no oracle can replay)."""
+    from tegola_spark.operators import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (stats.exact_quantiles(ev, "event_type", "value")
+            .orderBy("event_type", "q"))
+
+
+def q_domain_lang_cube(spark, sf_dir):
+    """OLAP cube over (source, lang): all four grouping sets in one
+    pass via Expand (detail, per-source, per-lang, grand total),
+    tagged by grouping_id — the multi-dimensional rollup a corpus
+    dashboard reads."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.cube("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.grouping_id().cast("long").alias("gid"))
+            .orderBy("gid", "source", "lang"))
+
+
 def q_embedding_quantize(spark, sf_dir):
     """FAISS-style SQ8 scalar quantization: per-vector scale =
     max|v|/127 (a max + ONE division — no accumulation order to
@@ -1137,6 +1163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
         "hll_distinct": q_hll_distinct,
+        "value_quantiles": q_value_quantiles,
+        "domain_lang_cube": q_domain_lang_cube,
         "pack_bins": q_pack_bins,
         "embedding_quantize": q_embedding_quantize,
         "similarity_sq8": q_similarity_sq8,
@@ -1517,6 +1545,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_join": _INTERVAL_JOIN_SQL,
         "time_rollup": _TIME_ROLLUP_SQL,
         "hll_distinct": _HLL_DISTINCT_SQL,
+        "value_quantiles": _VALUE_QUANTILES_SQL,
+        "domain_lang_cube": _DOMAIN_LANG_CUBE_SQL,
         "pack_bins": _PACK_BINS_SQL,
         "embedding_quantize": _SQ8_QUANTIZE_SQL,
         "similarity_sq8": _sq8_topk_oracle(),
@@ -2310,6 +2340,28 @@ _HLL_DISTINCT_SQL = (
     "SELECT * FROM (" + _hll_oracle_one("user_id", "users")
     + " UNION ALL " + _hll_oracle_one("event_id", "events")
     + ") ORDER BY metric, event_type")
+
+_VALUE_QUANTILES_SQL = """
+        WITH ranked AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ), qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        SELECT r.event_type, q.q, CAST(r.n AS BIGINT) AS n, r.value
+        FROM ranked r JOIN qs q ON r.rn = CAST(ceil(q.q * r.n) AS INT)
+        ORDER BY r.event_type, q.q
+"""
+
+_DOMAIN_LANG_CUBE_SQL = """
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(GROUPING(source, lang) AS BIGINT) AS gid
+        FROM documents GROUP BY CUBE (source, lang)
+        ORDER BY gid, source, lang
+"""
 
 _VOCAB_TOPK_SQL = """
         SELECT word, CAST(COUNT(*) AS BIGINT) AS n
