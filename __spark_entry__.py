@@ -97,6 +97,24 @@ def q_tile_assign(spark, sf_dir):
     )
 
 
+def q_tile_zorder(spark, sf_dir):
+    """Z-order (Morton) layout keys for the z=8 tile set: the
+    within-zoom clustering key for range-partitioned sink writes
+    (OPTIMIZE ZORDER analog) — spatially-near tiles share a zbucket,
+    so bbox scans prune file ranges (functions/grid.py col_morton).
+    Pure bit arithmetic; DuckDB replays the interleave term-for-term."""
+    from tegola_spark.functions import grid
+
+    pts = _points(spark, sf_dir)
+    g = (pts.select(grid.col_lon2num(F.col("lon"), 8).alias("tile_x"),
+                    grid.col_lat2num(F.col("lat"), 8).alias("tile_y"))
+         .groupBy("tile_x", "tile_y").agg(F.count("*").alias("n_docs")))
+    m = grid.col_morton(F.col("tile_x"), F.col("tile_y"), bits=8)
+    return (g.select("tile_x", "tile_y", m.alias("morton"),
+                     F.shiftright(m, 12).alias("zbucket"), "n_docs")
+            .orderBy("morton"))
+
+
 def q_tile_extent(spark, sf_dir):
     from tegola_spark.functions import grid
 
@@ -1108,6 +1126,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
+        "tile_zorder": q_tile_zorder,
         "tile_extent": q_tile_extent,
         "cell_rollup": q_cell_rollup,
         "bbox_filter": q_bbox_filter,
@@ -1222,6 +1241,25 @@ def oracle_sql() -> dict[str, str]:
                    {tile_x8} AS tile_x, {tile_y8} AS tile_y,
                    12 * 4503599627370496 + ({tile_x12}) * 67108864 + ({tile_y12}) AS cell12
             FROM (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents)
+        """,
+        "tile_zorder": f"""
+            WITH t AS (
+              SELECT {tile_x8} AS tile_x, {tile_y8} AS tile_y,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM (SELECT {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents)
+              GROUP BY 1, 2
+            )
+            SELECT tile_x, tile_y,
+                   CAST({" + ".join(
+                       f"(((tile_x >> {i}) & 1) << {2 * i})"
+                       f" + (((tile_y >> {i}) & 1) << {2 * i + 1})"
+                       for i in range(8))} AS BIGINT) AS morton,
+                   CAST(({" + ".join(
+                       f"(((tile_x >> {i}) & 1) << {2 * i})"
+                       f" + (((tile_y >> {i}) & 1) << {2 * i + 1})"
+                       for i in range(8))}) >> 12 AS BIGINT) AS zbucket,
+                   n_docs
+            FROM t ORDER BY morton
         """,
         "tile_extent": """
             SELECT CAST(z AS INTEGER) AS z, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,

@@ -385,3 +385,28 @@ def col_tile_extent(z: "Column", x: "Column", y: "Column"):
     minx = F.lit(-WEBMERCATOR_MAX) + x.cast("double") * res
     maxy = F.lit(WEBMERCATOR_MAX) - y.cast("double") * res
     return minx, maxy - res, minx + res, maxy
+
+
+def col_morton(x: "Column", y: "Column", bits: int = 16) -> "Column":
+    """Morton (Z-order) interleave of two tile coordinates: x occupies
+    the even output bits, y the odd — the space-filling-curve sort key
+    behind OPTIMIZE ZORDER-style data layout. Writing the tile sink
+    range-partitioned by this key colocates spatially-near tiles in
+    the same files, so a bbox scan prunes file ranges instead of
+    scattering random reads (sources/sinks.py's z-partitioned layout
+    is the per-zoom half; this is the within-zoom half).
+
+    Pure integer bit arithmetic (``bits`` terms of shift/mask/shift,
+    whole-stage-codegen friendly, no UDF); exact for coordinates below
+    2**bits.
+    """
+    total = F.lit(0).cast("long")
+    for i in range(bits):
+        total = (
+            total
+            + F.shiftleft(
+                F.shiftright(x.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(y.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return total

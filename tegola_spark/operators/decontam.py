@@ -38,7 +38,8 @@ def contamination_scan(docs: DataFrame, probes: DataFrame,
 def contamination_scan_shingled(docs: DataFrame, probes: DataFrame,
                                 text_col: str = "text",
                                 id_col: str = "doc_id",
-                                k: int | None = None) -> DataFrame:
+                                k: int | None = None,
+                                prefilter: bool = True) -> DataFrame:
     """Same output contract as :func:`contamination_scan`, for probe
     sets too large to broadcast: an inverted k-gram equi-join.
 
@@ -48,9 +49,17 @@ def contamination_scan_shingled(docs: DataFrame, probes: DataFrame,
     the corpus explodes its k-grams with positions, the shuffle join
     lands on the k-gram key, and the full probe is verified in place
     with a substring compare at the collided position.  No full-text
-    re-scan, no broadcast: both sides shuffle only on the gram key,
-    and the corpus side can be pre-filtered by a probe-gram bloom at
-    scan time.  Positions are 1-based to match ``locate``.
+    re-scan, no broadcast of probe TEXT: both sides shuffle only on
+    the gram key.  Positions are 1-based to match ``locate``.
+
+    ``prefilter=True`` (default) additionally broadcasts the DISTINCT
+    xxhash64 of the probe grams (8 bytes per distinct gram — small
+    even when the probe texts themselves are too large to broadcast)
+    and left-semi joins the exploded corpus grams against it BEFORE
+    the gram-key exchange, so non-candidate grams never cross the
+    wire — the runtime-filter refinement BENCH.md's plan audit called
+    out, exact rather than bloom-approximate.  Output is identical
+    either way (differential-tested).
     """
     if k is None:
         # model-sized driver read (one scalar), same posture as the
@@ -65,6 +74,11 @@ def contamination_scan_shingled(docs: DataFrame, probes: DataFrame,
     grams = (docs.select(id_col, text_col)
              .withColumn("pos", F.explode(positions))
              .withColumn("gram", F.expr(f"substring({text_col}, pos, {k})")))
+    if prefilter:
+        gram_hashes = pg.select(F.xxhash64("gram").alias("_gh")).distinct()
+        grams = grams.join(
+            F.broadcast(gram_hashes),
+            F.xxhash64("gram") == F.col("_gh"), "left_semi")
     hits = (grams.join(pg, "gram")
             .where(F.expr(f"substring({text_col}, pos, plen) = probe")))
     return (hits.groupBy(id_col, "probe_id")

@@ -61,3 +61,27 @@ def test_broadcast_plan(spark):
     plan = decontam.contamination_scan(docs, probes) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_shingled_prefilter_differential(spark):
+    docs, probes = _mk(spark)
+    base = {(r["doc_id"], r["probe_id"]): r["first_pos"]
+            for r in decontam.contamination_scan_shingled(
+                docs, probes, prefilter=False).collect()}
+    pre = {(r["doc_id"], r["probe_id"]): r["first_pos"]
+           for r in decontam.contamination_scan_shingled(
+               docs, probes, prefilter=True).collect()}
+    assert pre == base and len(base) == 4
+
+
+def test_shingled_prefilter_runs_before_gram_exchange(spark):
+    """The broadcast semi-join on gram hashes must sit BELOW the
+    gram-key shuffle, so non-candidate grams never cross the wire."""
+    docs, probes = _mk(spark)
+    plan = decontam.contamination_scan_shingled(docs, probes) \
+        ._jdf.queryExecution().executedPlan().toString()
+    semi = plan.index("LeftSemi")
+    gram_exchange = plan.index("Exchange hashpartitioning(gram")
+    # the plan tree prints parents first: the semi-join appearing
+    # AFTER the gram exchange in the text means it executes below it
+    assert semi > gram_exchange

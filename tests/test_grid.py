@@ -102,3 +102,19 @@ def test_deg2num_poles_standard_formula_is_unclamped():
     # test documents the difference)
     _, y = grid.deg2num(0.0, 89.9, 2)
     assert y < 0
+
+
+def test_col_morton_interleave(spark):
+    """x in even bits, y in odd: hand-computed codes, plus the
+    locality property that drives z-order sink layout (the 2x2 block
+    (0..1, 0..1) occupies codes 0..3 contiguously)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 3), (255, 255)],
+        "x long, y long")
+    got = {(r["x"], r["y"]): r["m"] for r in df.select(
+        "x", "y", grid.col_morton(F.col("x"), F.col("y"), bits=8)
+        .alias("m")).collect()}
+    assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3,
+                   (2, 3): 14, (255, 255): 65535}
