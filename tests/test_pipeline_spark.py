@@ -244,8 +244,11 @@ def test_fused_guard_falls_back(spark, sf_dir, monkeypatch):
 
 def test_url_dict_transport_off_byte_identical(spark, sf_dir, monkeypatch):
     """The URL-prefix dictionary transport is a pure encoding of the
-    anchor exchange: disabling it must not change a byte of any tile."""
+    anchor exchange: toggling it must not change a byte of any tile.
+    (Default is OFF since the round-5 cost audit; the on-leg is
+    forced.)"""
     zooms = [2, 3, 4]
+    monkeypatch.setenv("SPARK_GRAFT_URL_DICT", "1")
     _, on = pipeline.build_tiles_hierarchical(spark, sf_dir, zooms=zooms,
                                               anchor_z=2)
     a = {(r["z"], r["x"], r["y"]): bytes(r["tile_bytes"]) for r in on.collect()}
