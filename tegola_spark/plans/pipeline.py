@@ -908,8 +908,18 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
 # must stay model-sized for the broadcast + driver collect to be sane.
 URL_DICT_MAX = 65536
 
+# Volume gate for the URL dictionary (same philosophy as the stream-
+# encode and fused-low gates): the prefix distinct+collect is an extra
+# driver job and the broadcast join an extra stage on EVERY build — a
+# measured ~1.4s fixed cost — while the saving (~9 B/tile, ~3.5% of
+# the anchor exchange) scales with row count. Below this many corpus
+# rows the fixed cost dominates; above it the exchange is the binding
+# resource and the dictionary pays for itself.
+URL_DICT_MIN_ROWS = 1_000_000
 
-def _dict_encode_url(spark: SparkSession, pts: DataFrame):
+
+def _dict_encode_url(spark: SparkSession, pts: DataFrame,
+                     n_pts: int | None = None):
     """Dictionary-encode ``tag_url`` for the anchor exchange (round-5
     shuffle-byte cut): URLs share a small set of scheme/host/path
     prefixes, so the dominant shuffle ships a small int (``_upid``) plus
@@ -919,16 +929,18 @@ def _dict_encode_url(spark: SparkSession, pts: DataFrame):
     when disabled / prefix cardinality exceeds URL_DICT_MAX / any url
     is NULL (nulls would need a sentinel; the corpus never has them).
 
-    Default OFF (opt-in via SPARK_GRAFT_URL_DICT=1): the prefix
-    distinct+collect is an extra driver job and the broadcast join an
-    extra stage on EVERY build — a measured ~1.4s fixed cost at bench
-    scale — while the shuffle saving is only ~9 B/tile (~3.5%) because
-    zstd already crushes shared prefixes inside the exchange. Worth
-    turning on only when the anchor exchange is the binding resource
-    AND urls dominate the payload (e.g. long-tail URL corpora on a
-    bandwidth-constrained cluster)."""
-    if "tag_url" not in pts.columns or \
-            os.environ.get("SPARK_GRAFT_URL_DICT", "0") != "1":
+    Volume-adaptive (round-5 cost audit): on when ``n_pts`` >=
+    URL_DICT_MIN_ROWS, off below it (the ~1.4s fixed setup cost beats
+    the shuffle saving at small scale because zstd already crushes
+    shared prefixes inside the exchange). SPARK_GRAFT_URL_DICT=1/0
+    forces either way; the byte-identity test pins both legs equal."""
+    if "tag_url" not in pts.columns:
+        return pts, None
+    env = os.environ.get("SPARK_GRAFT_URL_DICT")
+    if env is not None:
+        if env != "1":
+            return pts, None
+    elif n_pts is None or n_pts < URL_DICT_MIN_ROWS:
         return pts, None
     pfx = F.expr("substring(tag_url, 1, length(tag_url) - "
                  "length(substring_index(tag_url, '/', -1)))")
@@ -1396,12 +1408,18 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
 
     # hierarchical path inputs: ONE anchor shuffle for all deep point
     # zooms, carrying only the point stream's live columns (z is the
-    # constant anchor level, so it does not ship either). tag_url
-    # crosses the exchange dictionary-encoded (int prefix id + short
-    # suffix). Built before the low-zoom decision because the fused
-    # low-zoom path reuses pts and the polygon broadcast.
+    # constant anchor level, so it does not ship either). At volume,
+    # tag_url crosses the exchange dictionary-encoded (int prefix id +
+    # short suffix). Built before the low-zoom decision because the
+    # fused low-zoom path reuses pts and the polygon broadcast.
+    # One corpus count per build feeds every volume gate (url-dict
+    # here, fused-low below, stream-encode inside build_tiles); the
+    # bench/driver passes n_docs so no count job runs at all there.
+    if n_docs is None and os.environ.get("SPARK_GRAFT_URL_DICT") is None:
+        n_docs = (docs.count() if docs is not None
+                  else corpus.documents(spark, sf_dir).count())
     pts = point_features(spark, sf_dir, docs=docs)
-    pts, upfx_bc = _dict_encode_url(spark, pts)
+    pts, upfx_bc = _dict_encode_url(spark, pts, n_pts=n_docs)
     point_cols = ["feature_id", "lon", "lat"] + \
         (["_upid", "_usfx"] if upfx_bc is not None else ["tag_url"]) + \
         ["tag_lang"]

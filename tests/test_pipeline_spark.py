@@ -245,8 +245,8 @@ def test_fused_guard_falls_back(spark, sf_dir, monkeypatch):
 def test_url_dict_transport_off_byte_identical(spark, sf_dir, monkeypatch):
     """The URL-prefix dictionary transport is a pure encoding of the
     anchor exchange: toggling it must not change a byte of any tile.
-    (Default is OFF since the round-5 cost audit; the on-leg is
-    forced.)"""
+    (Default is volume-adaptive since the round-5 cost audit — on at
+    >= URL_DICT_MIN_ROWS corpus rows; both legs are forced here.)"""
     zooms = [2, 3, 4]
     monkeypatch.setenv("SPARK_GRAFT_URL_DICT", "1")
     _, on = pipeline.build_tiles_hierarchical(spark, sf_dir, zooms=zooms,
@@ -258,6 +258,23 @@ def test_url_dict_transport_off_byte_identical(spark, sf_dir, monkeypatch):
     b = {(r["z"], r["x"], r["y"]): bytes(r["tile_bytes"]) for r in off.collect()}
     assert set(a) == set(b)
     assert all(a[k] == b[k] for k in a)
+
+
+def test_url_dict_volume_gate(spark, sf_dir, monkeypatch):
+    """Unforced, the dictionary engages only at volume: below
+    URL_DICT_MIN_ROWS the points pass through untouched (no extra
+    distinct+collect job), above it tag_url is replaced by the
+    (_upid, _usfx) pair."""
+    monkeypatch.delenv("SPARK_GRAFT_URL_DICT", raising=False)
+    pts = pipeline.point_features(spark, sf_dir)
+    small, bc = pipeline._dict_encode_url(spark, pts, n_pts=10)
+    assert bc is None and "tag_url" in small.columns
+    none_given, bc = pipeline._dict_encode_url(spark, pts, n_pts=None)
+    assert bc is None and "tag_url" in none_given.columns
+    big, bc = pipeline._dict_encode_url(
+        spark, pts, n_pts=pipeline.URL_DICT_MIN_ROWS)
+    assert bc is not None
+    assert "_upid" in big.columns and "tag_url" not in big.columns
 
 
 def test_stream_encode_matches_legacy(spark, sf_dir, monkeypatch):
