@@ -1115,6 +1115,43 @@ def q_extract_parity(spark, sf_dir):
         "url", F.md5(corpus.extract_text("html").cast("binary")).alias("text_md5"))
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding token-window chunking (context-window prep): 32-token
+    chunks every 24 tokens. Map-only — split/sequence/posexplode/slice
+    run in one codegen stage with zero shuffles beyond the determinism
+    sort; DuckDB replays the window arithmetic and list slicing
+    exactly (operators/textstats.py chunk_documents)."""
+    from tegola_spark.operators import textstats
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    return (textstats.chunk_documents(docs, size=32, stride=24)
+            .orderBy("doc_id", "chunk_id"))
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) under the hard oracle: corpus =
+    embeddings plus a perturbed twin of every vector (+0.01/component,
+    ids offset by 10M) so real semantic near-dups exist; fixed
+    lowest-id quantizer cells, in-cell pairwise cosine, keep the
+    lowest id of each >= 0.99 group. DuckDB replays cells, every pair
+    similarity, and the keep decision bit-for-bit
+    (operators/similarity.py semantic_dedup)."""
+    from tegola_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v1 = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("embedding"))
+    v2 = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform("embedding",
+                    lambda v: v.cast("double") + F.lit(0.01)).alias("embedding"))
+    return (similarity.semantic_dedup(v1.unionByName(v2), threshold=0.99,
+                                      n_centroids=16)
+            .orderBy("vec_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline at sf0.001 -> per-tile summary rows."""
     from tegola_spark.plans import pipeline
@@ -1191,6 +1228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_portable": q_simhash_portable,
         "multimodal_decode": q_multimodal_decode,
         "extract_parity": q_extract_parity,
+        "chunk_documents": q_chunk_documents,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1605,6 +1644,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id + 10000000 AS query_id, "
             "list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01) AS qemb "
             "FROM embeddings"),
+        "chunk_documents": _CHUNK_DOCUMENTS_SQL,
+        "semantic_dedup": _semantic_dedup_oracle(
+            threshold=0.99, n_centroids=16),
         # mvt_tiles / mvt_layer_metrics / mvt_tiles_hier /
         # simhash_fingerprints / multimodal_decode: no SQL equivalent
         # (binary tile encode, blake2b hashes, stub decode) ->
@@ -1966,6 +2008,84 @@ def _ivf_fixed_oracle(k: int, n_centroids: int, nprobe: int,
         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
                ROUND(score, 6) AS score_r6
         FROM ranked WHERE rank <= {k}
+    """
+
+
+# Mirrors operators/textstats.py chunk_documents (size=32, stride=24):
+# sliding token windows, n_chunks = 1 + ceil(max(0, n-32)/24) via exact
+# integer arithmetic; DuckDB's 1-based inclusive list slice equals
+# F.slice(words, start+1, 32) including past-the-end truncation.
+_CHUNK_DOCUMENTS_SQL = """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ), c AS (
+          SELECT doc_id, words, len(words) AS n,
+                 1 + CAST(floor((greatest(len(words) - 32, 0) + 23) / 24)
+                          AS BIGINT) AS n_chunks
+          FROM w
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, n_chunks,
+               CAST(least(32, n - i * 24) AS BIGINT) AS chunk_tokens,
+               array_to_string(words[i*24+1 : i*24+32], ' ') AS chunk_text
+        FROM c, unnest(range(0, n_chunks)) AS t(i)
+        ORDER BY doc_id, chunk_id
+"""
+
+
+def _semantic_dedup_oracle(threshold: float, n_centroids: int) -> str:
+    """Replays similarity.semantic_dedup over embeddings + perturbed
+    twins (q_semantic_dedup's corpus): fixed lowest-id quantizer cell
+    assignment, in-cell pairwise sequential-fold cosines, keep = no
+    lower-id member at/above threshold."""
+    def dotseq(a, b):
+        return (f"list_aggregate(list_transform(list_zip({a}, {b}), "
+                "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')")
+
+    return f"""
+        WITH allv AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000000 AS vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01)
+                   AS embedding
+          FROM embeddings
+        ), cents0 AS (
+          SELECT vec_id, embedding FROM allv
+          ORDER BY vec_id LIMIT {n_centroids}
+        ), cents AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+                 embedding AS cemb,
+                 {dotseq('embedding', 'embedding')} AS dcc
+          FROM cents0
+        ), base AS (
+          SELECT vec_id AS nid, embedding AS nemb,
+                 {_l2_sql('embedding')} AS nnorm
+          FROM allv
+        ), assign AS (
+          SELECT nid, nemb, nnorm, cidx,
+                 row_number() OVER (PARTITION BY nid
+                     ORDER BY dcc - 2.0 * {dotseq('nemb', 'cemb')}, cidx)
+                     AS crk
+          FROM base, cents
+        ), inv AS (
+          SELECT nid, nemb, nnorm, cidx AS ncid FROM assign WHERE crk = 1
+        ), pairs AS (
+          SELECT b.nid AS bid, a.nid AS aid,
+                 {dotseq('a.nemb', 'b.nemb')} / (a.nnorm * b.nnorm) AS sim
+          FROM inv a JOIN inv b
+            ON a.ncid = b.ncid AND a.nid < b.nid
+        ), agg AS (
+          SELECT bid, max(sim) AS max_sim,
+                 min(CASE WHEN sim >= {threshold!r} THEN aid END) AS dup_of
+          FROM pairs GROUP BY bid
+        )
+        SELECT i.nid AS vec_id, CAST(i.ncid AS INTEGER) AS cell,
+               agg.dup_of IS NULL AS keep, agg.dup_of,
+               ROUND(agg.max_sim, 6) AS max_sim_r6
+        FROM inv i LEFT JOIN agg ON i.nid = agg.bid
+        ORDER BY vec_id
     """
 
 

@@ -304,6 +304,34 @@ def ivf_ann_topk_df(emb: DataFrame, queries: DataFrame, k: int, dim: int,
     return _rank_probed(cand, k)
 
 
+def _fixed_centroids(emb: DataFrame, n_centroids: int,
+                     id_col: str, emb_col: str) -> DataFrame:
+    """Fixed coarse quantizer: the ``n_centroids`` lowest-id vectors,
+    indexed by rank — a pure function of the data any engine replays."""
+    return (emb.orderBy(id_col).limit(n_centroids)
+            .select(F.col(id_col).alias("_ck"), F.col(emb_col).alias("cemb"))
+            .withColumn("cidx",
+                        F.row_number().over(Window.orderBy("_ck")) - 1)
+            .drop("_ck")
+            .withColumn("dcc", _dot_expr("cemb", "cemb")))
+
+
+def _fixed_cells(emb: DataFrame, cents: DataFrame,
+                 id_col: str, emb_col: str) -> DataFrame:
+    """Assign every vector to its nearest fixed centroid (argmin of
+    ||c||^2 - 2 x.c, sequential-fold dots, ties on centroid rank).
+    Returns (nid, nemb, nnorm, ncid)."""
+    base = with_norm(emb, emb_col).select(
+        F.col(id_col).alias("nid"), F.col(emb_col).alias("nemb"),
+        F.col("_norm").alias("nnorm"))
+    d_n = F.col("dcc") - F.lit(2.0) * _dot_expr("nemb", "cemb")
+    w_n = Window.partitionBy("nid").orderBy(d_n.asc(), F.col("cidx"))
+    return (base.crossJoin(F.broadcast(cents))
+            .withColumn("_crk", F.row_number().over(w_n))
+            .where(F.col("_crk") == 1)
+            .select("nid", "nemb", "nnorm", F.col("cidx").alias("ncid")))
+
+
 def ivf_fixed_ann_topk_df(emb: DataFrame, queries: DataFrame, k: int,
                           n_centroids: int = 16, nprobe: int = 4,
                           id_col: str = "vec_id",
@@ -327,22 +355,8 @@ def ivf_fixed_ann_topk_df(emb: DataFrame, queries: DataFrame, k: int,
     training); recall tests cover it. This variant is the driver-gate
     face of the same plan shape — identical join/rank structure, only
     the quantizer differs."""
-    cents = (emb.orderBy(id_col).limit(n_centroids)
-             .select(F.col(id_col).alias("_ck"), F.col(emb_col).alias("cemb"))
-             .withColumn("cidx",
-                         F.row_number().over(Window.orderBy("_ck")) - 1)
-             .drop("_ck")
-             .withColumn("dcc", _dot_expr("cemb", "cemb")))
-
-    base = with_norm(emb, emb_col).select(
-        F.col(id_col).alias("nid"), F.col(emb_col).alias("nemb"),
-        F.col("_norm").alias("nnorm"))
-    d_n = F.col("dcc") - F.lit(2.0) * _dot_expr("nemb", "cemb")
-    w_n = Window.partitionBy("nid").orderBy(d_n.asc(), F.col("cidx"))
-    inv = (base.crossJoin(F.broadcast(cents))
-           .withColumn("_crk", F.row_number().over(w_n))
-           .where(F.col("_crk") == 1)
-           .select("nid", "nemb", "nnorm", F.col("cidx").alias("ncid")))
+    cents = _fixed_centroids(emb, n_centroids, id_col, emb_col)
+    inv = _fixed_cells(emb, cents, id_col, emb_col)
 
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(query_emb_col).alias("qemb"))
@@ -370,6 +384,58 @@ def ivf_fixed_ann_topk(emb: DataFrame, query_ids, k: int,
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("qemb"))
     return ivf_fixed_ann_topk_df(emb, queries, k, n_centroids, nprobe,
                                  id_col, emb_col)
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.95,
+                   n_centroids: int = 16, id_col: str = "vec_id",
+                   emb_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer,
+    then WITHIN each cell mark every vector whose cosine similarity to
+    a lower-id cell member reaches ``threshold`` as a duplicate — the
+    lowest id of each near-dup group survives (the paper keeps one
+    representative per e-ball; lowest-id is its deterministic face).
+
+    Uses the fixed lowest-id quantizer + sequential-fold distances so
+    DuckDB replays assignment AND the pairwise pass bit-for-bit (same
+    machinery as :func:`ivf_fixed_ann_topk_df`); production would swap
+    in the Lloyd-trained centroids of :func:`ivf_train_centroids` with
+    identical plan shape.
+
+    Returns (vec_id, cell, keep, dup_of, max_sim_r6) — dup_of is the
+    smallest lower-id neighbor at/above threshold, max_sim_r6 the
+    rounded max similarity to ANY lower-id cell member (NULL for a
+    cell's lowest-id vector).
+
+    Scale plan: the quadratic pairwise term is confined inside cells
+    (the point of SemDeDup — n_centroids grows with the corpus so
+    cells stay bounded); the self-join is an equi-join ON THE CELL KEY
+    so only one cell-partitioned exchange of (id, emb) rows runs, and
+    the per-vector reduction (max / conditional min) has map-side
+    partial aggregation. No driver materialization at any size.
+    """
+    cents = _fixed_centroids(emb, n_centroids, id_col, emb_col)
+    inv = _fixed_cells(emb, cents, id_col, emb_col)
+    a = inv.select(F.col("nid").alias("aid"), F.col("nemb").alias("aemb"),
+                   F.col("nnorm").alias("anorm"), "ncid")
+    b = inv.select(F.col("nid").alias("bid"), F.col("nemb").alias("bemb"),
+                   F.col("nnorm").alias("bnorm"), "ncid")
+    sim = _dot_expr("aemb", "bemb") / (F.col("anorm") * F.col("bnorm"))
+    pairs = (a.join(b, "ncid")
+             .where(F.col("aid") < F.col("bid"))
+             .select("bid", F.col("aid"), sim.alias("_sim")))
+    agg = pairs.groupBy("bid").agg(
+        F.max("_sim").alias("_max_sim"),
+        F.min(F.when(F.col("_sim") >= F.lit(threshold), F.col("aid")))
+         .alias("dup_of"))
+    return (inv.select(F.col("nid").alias("vec_id"),
+                       F.col("ncid").alias("cell"))
+            .join(agg, F.col("vec_id") == F.col("bid"), "left")
+            .select("vec_id",
+                    F.col("cell").cast("int").alias("cell"),
+                    F.col("dup_of").isNull().alias("keep"),
+                    "dup_of",
+                    F.round(F.col("_max_sim"), 6).alias("max_sim_r6")))
 
 
 def ann_self_topk(emb: DataFrame, k: int, dim: int, method: str = "ivf",

@@ -145,3 +145,50 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame
     counts = (w.where(F.col("word") != "")
                 .groupBy("word").agg(F.count("*").alias("n")))
     return counts.orderBy(F.desc("n"), "word").limit(k)
+
+
+def chunk_documents(df: DataFrame, size: int = 64, stride: int = 48,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding token-window chunking — the context-window prep step of
+    a training/RAG pipeline (split long documents into ``size``-token
+    chunks every ``stride`` tokens, overlap = size - stride).
+
+    Chunk starts are 0, stride, 2*stride, ...; the chunk count is
+    ``1 + ceil(max(0, n_tokens - size) / stride)`` so every token is
+    covered and no trailing chunk is a pure subset of its predecessor
+    (the Hugging Face ``return_overflowing_tokens`` convention).
+
+    Returns one row per (doc, chunk): (doc_id, chunk_id, n_chunks,
+    chunk_tokens, chunk_text).
+
+    Scale plan: pure column expressions — split/sequence/posexplode/
+    slice/array_join all run JVM-side in one codegen stage with NO
+    shuffle and no UDF; output rows are produced in the scan stage's
+    partitioning, so at 100 TB this is a map-only pass whose cost is
+    the text bytes themselves. The fan-out factor is bounded by
+    n_tokens/stride per document.
+    """
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    extra = F.greatest(n - F.lit(size), F.lit(0))
+    n_chunks = (F.lit(1) + F.floor((extra + F.lit(stride - 1))
+                                   / F.lit(stride))).cast("bigint")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), words.alias("_w"), n.alias("_n"),
+        n_chunks.alias("n_chunks"))
+    start = F.col("chunk_id") * F.lit(stride)
+    return (base
+            .select("doc_id", "_w", "_n", "n_chunks",
+                    F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1))
+                     .alias("chunk_id", "_i"))
+            .select(
+                "doc_id",
+                F.col("chunk_id").cast("bigint").alias("chunk_id"),
+                "n_chunks",
+                F.least(F.lit(size), F.col("_n") - start)
+                 .cast("bigint").alias("chunk_tokens"),
+                F.array_join(F.slice(F.col("_w"), start + 1, size), " ")
+                 .alias("chunk_text")))
