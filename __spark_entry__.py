@@ -1129,6 +1129,18 @@ def q_chunk_documents(spark, sf_dir):
             .orderBy("doc_id", "chunk_id"))
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document TF-IDF top-5 keywords (sklearn-smoothed idf).
+    Ranks over the ROUNDED score so engine libm ulp in ln() cannot
+    reorder ranks; DuckDB replays tf, df, idf and the rank window
+    (operators/textstats.py tfidf_topk)."""
+    from tegola_spark.operators import textstats
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    return textstats.tfidf_topk(docs, k=5).orderBy("doc_id", "rank")
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) under the hard oracle: corpus =
     embeddings plus a perturbed twin of every vector (+0.01/component,
@@ -1230,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_parity": q_extract_parity,
         "chunk_documents": q_chunk_documents,
         "semantic_dedup": q_semantic_dedup,
+        "tfidf_topk": q_tfidf_topk,
     }
 
 
@@ -1645,6 +1658,7 @@ def oracle_sql() -> dict[str, str]:
             "list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.01) AS qemb "
             "FROM embeddings"),
         "chunk_documents": _CHUNK_DOCUMENTS_SQL,
+        "tfidf_topk": _TFIDF_TOPK_SQL,
         "semantic_dedup": _semantic_dedup_oracle(
             threshold=0.99, n_centroids=16),
         # mvt_tiles / mvt_layer_metrics / mvt_tiles_hier /
@@ -2029,6 +2043,39 @@ _CHUNK_DOCUMENTS_SQL = """
                array_to_string(words[i*24+1 : i*24+32], ' ') AS chunk_text
         FROM c, unnest(range(0, n_chunks)) AS t(i)
         ORDER BY doc_id, chunk_id
+"""
+
+
+# Mirrors operators/textstats.py tfidf_topk (k=5): tf = word counts
+# per (doc, word); df = docs per word; idf = ln((N+1)/(df+1)) + 1
+# (sklearn smoothing); rank over ROUND(tf*idf, 6) then word so libm
+# ulp in ln cannot flip an ordering either engine sees.
+_TFIDF_TOPK_SQL = """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, word, COUNT(*) AS tf
+          FROM w WHERE word <> '' GROUP BY doc_id, word
+        ), n AS (
+          SELECT COUNT(*) AS n_docs FROM documents
+        ), idf AS (
+          SELECT word,
+                 ln((n.n_docs + 1.0) / (COUNT(*) + 1.0)) + 1.0 AS idf
+          FROM tf, n GROUP BY word, n.n_docs
+        ), scored AS (
+          SELECT tf.doc_id, tf.word, tf.tf,
+                 ROUND(tf.tf * idf.idf, 6) AS score_r6
+          FROM tf JOIN idf ON tf.word = idf.word
+        ), ranked AS (
+          SELECT doc_id, word, tf, score_r6,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score_r6 DESC, word) AS rank
+          FROM scored
+        )
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, word, tf, score_r6
+        FROM ranked WHERE rank <= 5
+        ORDER BY doc_id, rank
 """
 
 

@@ -192,3 +192,44 @@ def chunk_documents(df: DataFrame, size: int = 64, stride: int = 48,
                  .cast("bigint").alias("chunk_tokens"),
                 F.array_join(F.slice(F.col("_w"), start + 1, size), " ")
                  .alias("chunk_text")))
+
+
+def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document TF-IDF top-k keyword extraction (the classic
+    search / doc-representation primitive; sklearn-style smoothed idf
+    ``ln((N+1)/(df+1)) + 1``).
+
+    Returns (doc_id, rank, word, tf, score_r6) — rank is over the
+    ROUNDED score (desc, then word asc) so the ordering is identical
+    in any engine regardless of libm ulp differences in ``ln``.
+
+    Scale plan: tf is the word-count exchange (map-side partial agg on
+    (doc, word)); document frequency reduces the SAME frame by word
+    (vocab-sized output); idf joins back BROADCAST (the vocab is
+    model-sized next to the corpus — cap with a min-df filter when it
+    is not); the per-doc top-k is a rank window that Spark pushes
+    map-side (WindowGroupLimit), so only ~k rows per document survive
+    the final exchange. The corpus-sized frames never carry text
+    beyond the exploded words themselves.
+    """
+    words = (df.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.split(F.col(text_col), " ")).alias("word"))
+               .where(F.col("word") != ""))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    n_docs = df.select(F.count("*").alias("_n"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("_df"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "word",
+        (F.log((F.col("_n") + F.lit(1.0)) / (F.col("_df") + F.lit(1.0)))
+         + F.lit(1.0)).alias("_idf"))
+    scored = (tf.join(F.broadcast(idf), "word")
+              .select("doc_id", "word", "tf",
+                      F.round(F.col("tf") * F.col("_idf"), 6)
+                       .alias("score_r6")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_r6"), "word")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                    "word", "tf", "score_r6"))

@@ -121,3 +121,33 @@ def test_semantic_dedup_plan_is_cell_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert any(("SortMergeJoin" in ln or "HashJoin" in ln)
                and "ncid" in ln for ln in plan.splitlines()), plan
+
+
+def test_tfidf_topk_basic(spark):
+    from tegola_spark.operators.textstats import tfidf_topk
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"), (1, "banana cherry"), (2, "cherry date")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["rank"]): r for r in tfidf_topk(docs, k=2).collect()}
+    # 'apple' appears twice in doc 0 and nowhere else -> top keyword
+    assert out[(0, 1)]["word"] == "apple" and out[(0, 1)]["tf"] == 2
+    # every doc gets at most k ranked rows, ranks contiguous from 1
+    by_doc = {}
+    for (d, r) in out:
+        by_doc.setdefault(d, []).append(r)
+    for d, ranks in by_doc.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # rarer word beats common word at equal tf: doc 1 'cherry' (df 2)
+    # vs 'banana' (df 2) tie -> word asc breaks it deterministically
+    assert out[(1, 1)]["word"] == "banana"
+
+
+def test_tfidf_topk_pushes_rank_mapside(spark):
+    """Scale guard: the per-doc top-k must run as a WindowGroupLimit
+    (rank pushed below the exchange) so only ~k rows per doc shuffle."""
+    from tegola_spark.operators.textstats import tfidf_topk
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(10)], "doc_id long, text string")
+    plan = tfidf_topk(docs, k=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
