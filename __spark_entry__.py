@@ -1129,6 +1129,23 @@ def q_chunk_documents(spark, sf_dir):
             .orderBy("doc_id", "chunk_id"))
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Epoch-weighted dataset mixing: src0 x2.25, src1 x0.5, src2
+    dropped, src3 x3, everything else x1 — floor(w) copies plus a
+    deterministic frac(w) bucket for the remainder, zero RNG state.
+    Map-only fan-out; DuckDB replays the salted-bucket arithmetic and
+    the copy expansion (operators/sampling.py mixture_sample)."""
+    from tegola_spark.operators import sampling
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    out = sampling.mixture_sample(
+        docs, {"src0": 2.25, "src1": 0.5, "src2": 0.0, "src3": 3.0},
+        default_weight=1.0)
+    return out.select("doc_id", "source", "copy_id") \
+              .orderBy("doc_id", "copy_id")
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Per-document TF-IDF top-5 keywords (sklearn-smoothed idf).
     Ranks over the ROUNDED score so engine libm ulp in ln() cannot
@@ -1243,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "semantic_dedup": q_semantic_dedup,
         "tfidf_topk": q_tfidf_topk,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -1659,6 +1677,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings"),
         "chunk_documents": _CHUNK_DOCUMENTS_SQL,
         "tfidf_topk": _TFIDF_TOPK_SQL,
+        "mixture_sample": _MIXTURE_SAMPLE_SQL,
         "semantic_dedup": _semantic_dedup_oracle(
             threshold=0.99, n_centroids=16),
         # mvt_tiles / mvt_layer_metrics / mvt_tiles_hier /
@@ -2043,6 +2062,33 @@ _CHUNK_DOCUMENTS_SQL = """
                array_to_string(words[i*24+1 : i*24+32], ' ') AS chunk_text
         FROM c, unnest(range(0, n_chunks)) AS t(i)
         ORDER BY doc_id, chunk_id
+"""
+
+
+# Mirrors operators/sampling.py mixture_sample (q_mixture_sample's
+# weights): n_copies = floor(w) + [bucket < frac(w)*RESOLUTION], same
+# salted-md5 bucket as the stratified oracle; range(0) drops the row.
+_MIXTURE_SAMPLE_SQL = r"""
+        WITH b AS (
+          SELECT doc_id, source,
+                 CAST(concat('0x', substr(md5(concat('mixture-v1',
+                      CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT)
+                   % 1000000 AS bucket
+          FROM documents
+        ), n AS (
+          SELECT doc_id, source,
+                 (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                              WHEN 'src2' THEN 0 WHEN 'src3' THEN 3
+                              ELSE 1 END)
+                 + (CASE WHEN bucket < (CASE source
+                        WHEN 'src0' THEN 250000 WHEN 'src1' THEN 500000
+                        WHEN 'src2' THEN 0 WHEN 'src3' THEN 0
+                        ELSE 0 END) THEN 1 ELSE 0 END) AS n_copies
+          FROM b
+        )
+        SELECT doc_id, source, CAST(i AS INTEGER) AS copy_id
+        FROM n, unnest(range(0, n_copies)) AS t(i)
+        ORDER BY doc_id, copy_id
 """
 
 

@@ -77,3 +77,48 @@ def assign_split(df: DataFrame, holdout_rate: float = 0.1,
     b = sample_bucket_col(F.col(id_col), salt)
     return df.withColumn(
         split_col, F.when(b < F.lit(thr), F.lit("holdout")).otherwise(F.lit("train")))
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   strata_col: str = "source", id_col: str = "doc_id",
+                   salt: str = "mixture-v1",
+                   default_weight: float = 1.0,
+                   copy_col: str = "copy_id") -> DataFrame:
+    """Weighted mixture up/down-sampling — the epoch-weighting step of
+    dataset mixing (e.g. "2.25 epochs of wiki, 0.5 of common crawl").
+
+    Each row is emitted ``floor(w)`` times, plus one more iff its
+    deterministic bucket falls under ``frac(w) * RESOLUTION`` — so a
+    weight of 2.25 repeats every row twice and a deterministic 25%
+    of rows a third time, and a weight of 0.5 keeps a deterministic
+    half.  Expected multiplicity is exactly ``w`` per stratum with
+    zero RNG state; reruns, retries and other engines reproduce the
+    same copies.  Output adds ``copy_col`` (0..n_copies-1) so
+    downstream shuffles can decorrelate the copies.
+
+    Like :func:`stratified_sample`, thresholds are integerized on the
+    driver and the whole decision is a column expression: no shuffle,
+    no UDF, and the fan-out happens in the scan stage's partitioning
+    (map-only at any scale).
+    """
+    parts = {k: (int(w), int(round((w - int(w)) * RESOLUTION)))
+             for k, w in weights.items()}
+    if min(w for w in weights.values()) < 0:
+        raise ValueError("weights must be >= 0")
+    d_base, d_frac = (int(default_weight),
+                      int(round((default_weight - int(default_weight))
+                                * RESOLUTION)))
+    base = reduce(
+        lambda acc, kv: acc.when(F.col(strata_col) == kv[0], F.lit(kv[1][0])),
+        sorted(parts.items()), F).otherwise(F.lit(d_base)) \
+        if parts else F.lit(d_base)
+    frac = reduce(
+        lambda acc, kv: acc.when(F.col(strata_col) == kv[0], F.lit(kv[1][1])),
+        sorted(parts.items()), F).otherwise(F.lit(d_frac)) \
+        if parts else F.lit(d_frac)
+    bucket = sample_bucket_col(F.col(id_col), salt)
+    n_copies = base + (bucket < frac).cast("int")
+    copies = F.when(n_copies > 0,
+                    F.sequence(F.lit(0), n_copies - 1)).otherwise(
+        F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(copies))
