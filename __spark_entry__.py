@@ -1181,6 +1181,54 @@ def q_semantic_dedup(spark, sf_dir):
             .orderBy("vec_id"))
 
 
+def q_unigram_lm(spark, sf_dir):
+    """Self-trained unigram LM quality score: per-doc mean token
+    log-probability in integer micro-nats, so the cross-doc sum is
+    exact int64 arithmetic and both engines round the identical
+    average (operators/textstats.py unigram_lm_score)."""
+    from tegola_spark.operators import textstats
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    return textstats.unigram_lm_score(docs).orderBy("doc_id")
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Duplicated-5-gram fraction per document (Gopher/RefinedWeb
+    cross-document repetition rule): distinct shingles per doc,
+    shuffled doc-frequency join on the shingle key, integer-exact
+    fraction (operators/textstats.py ngram_novelty)."""
+    from tegola_spark.operators import textstats
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    return textstats.ngram_novelty(docs, n=5).orderBy("doc_id")
+
+
+def q_train_split(spark, sf_dir):
+    """Deterministic train/valid/test assignment (98/1/1 salted-md5
+    buckets) plus an independently-salted 48-bit shuffle key — the
+    reproducible epoch-order permutation. Map-only, zero RNG state
+    (operators/sampling.py split_and_shuffle)."""
+    from tegola_spark.operators import sampling
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    return sampling.split_and_shuffle(docs).orderBy("doc_id")
+
+
+def q_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss +/-1 sign projection of the 64-d
+    embeddings to 16-d. The matrix is md5-parity-derived (no RNG) and
+    every output coordinate is the proven sequential fold, so DuckDB
+    reproduces BIT-IDENTICAL doubles — no rounding anywhere
+    (operators/projection.py jl_project)."""
+    from tegola_spark.operators import projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return projection.jl_project(emb, in_dim=64, out_dim=16).orderBy("vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline at sf0.001 -> per-tile summary rows."""
     from tegola_spark.plans import pipeline
@@ -1261,6 +1309,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "tfidf_topk": q_tfidf_topk,
         "mixture_sample": q_mixture_sample,
+        "unigram_lm": q_unigram_lm,
+        "ngram_novelty": q_ngram_novelty,
+        "train_split": q_train_split,
+        "jl_projection": q_jl_projection,
     }
 
 
@@ -1680,6 +1732,10 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _MIXTURE_SAMPLE_SQL,
         "semantic_dedup": _semantic_dedup_oracle(
             threshold=0.99, n_centroids=16),
+        "unigram_lm": _UNIGRAM_LM_SQL,
+        "ngram_novelty": _NGRAM_NOVELTY_SQL,
+        "train_split": _TRAIN_SPLIT_SQL,
+        "jl_projection": _jl_projection_oracle(),
         # mvt_tiles / mvt_layer_metrics / mvt_tiles_hier /
         # simhash_fingerprints / multimodal_decode: no SQL equivalent
         # (binary tile encode, blake2b hashes, stub decode) ->
@@ -2123,6 +2179,121 @@ _TFIDF_TOPK_SQL = """
         FROM ranked WHERE rank <= 5
         ORDER BY doc_id, rank
 """
+
+
+# Mirrors operators/textstats.py unigram_lm_score: MLE word log-probs
+# quantized to integer micro-nats via floor(x*1e6 + 0.5) (floor, not
+# round — engines disagree on round-half), summed as exact int64, so
+# the average divides identical integers on both engines.
+_UNIGRAM_LM_SQL = """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), wf AS (
+          SELECT doc_id, word FROM w WHERE word <> ''
+        ), c AS (
+          SELECT word, COUNT(*) AS n FROM wf GROUP BY word
+        ), tot AS (
+          SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c
+        ), lp AS (
+          SELECT word,
+                 CAST(floor(ln(CAST(n AS DOUBLE) / tot.total) * 1e6 + 0.5)
+                      AS BIGINT) AS lp_micro
+          FROM c, tot
+        ), agg AS (
+          SELECT wf.doc_id, COUNT(*) AS n_tokens, SUM(lp.lp_micro) AS s
+          FROM wf JOIN lp USING (word) GROUP BY wf.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(a.s, 0) AS BIGINT) AS lp_micro_sum,
+               CASE WHEN COALESCE(a.n_tokens, 0) > 0
+                    THEN ROUND(CAST(a.s AS BIGINT)
+                               / (a.n_tokens * 1e6), 6)
+                    ELSE 0.0 END AS avg_logprob_r6
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id
+"""
+
+
+# Mirrors operators/textstats.py ngram_novelty (n=5): distinct word
+# 5-grams per doc, cross-document frequency join, integer-exact
+# duplicated fraction. Slice t[i:i+4] is 1-based INCLUSIVE (5 words);
+# range(1, m+1) yields i = 1..len(t)-4.
+_NGRAM_NOVELTY_SQL = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(t[i:i+4], ' ')
+                                for i in range(1, greatest(len(t)-3, 1))]) AS g
+          FROM toks
+        ), ex AS (
+          SELECT doc_id, unnest(g) AS s FROM sh
+        ), dfreq AS (
+          SELECT s, COUNT(*) AS df FROM ex GROUP BY s
+        ), agg AS (
+          SELECT ex.doc_id, COUNT(*) AS n_shingles,
+                 SUM(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END) AS n_dup
+          FROM ex JOIN dfreq USING (s) GROUP BY ex.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup,
+               ROUND(CAST(COALESCE(a.n_dup, 0) AS BIGINT)
+                     / greatest(CAST(COALESCE(a.n_shingles, 0) AS BIGINT), 1),
+                     6) AS dup_frac_r6
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id
+"""
+
+
+# Mirrors operators/sampling.py split_and_shuffle: cumulative salted
+# md5 bucket thresholds (98/1/1) + the independent full-48-bit
+# shuffle key. Same hex->BIGINT trick as the mixture oracle.
+_TRAIN_SPLIT_SQL = """
+        WITH b AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substr(md5(concat('split3-v1',
+                      CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT)
+                   % 1000000 AS split_bucket,
+                 CAST(concat('0x', substr(md5(concat('shuffle-v1',
+                      CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT)
+                   AS shuffle_key
+          FROM documents
+        )
+        SELECT doc_id, split_bucket,
+               CASE WHEN split_bucket < 980000 THEN 'train'
+                    WHEN split_bucket < 990000 THEN 'valid'
+                    ELSE 'test' END AS split,
+               shuffle_key
+        FROM b ORDER BY doc_id
+"""
+
+
+def _jl_projection_oracle(out_dim: int = 16, in_dim: int = 64) -> str:
+    """Rebuilds the md5-parity sign matrix (projection.sign_matrix)
+    and replays every coordinate with the proven sequential fold —
+    outputs are BIT-IDENTICAL doubles, no rounding."""
+    from tegola_spark.operators.projection import sign_matrix
+
+    mat = sign_matrix(out_dim, in_dim)
+    cols = ",\n               ".join(
+        "list_aggregate(list_transform(list_zip(ed, ["
+        + ",".join(f"{s:.1f}" for s in row)
+        + f"]::DOUBLE[]), x -> x[1] * x[2]), 'sum') AS p{j}"
+        for j, row in enumerate(mat))
+    return f"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+          FROM embeddings
+        )
+        SELECT vec_id,
+               {cols}
+        FROM e ORDER BY vec_id
+    """
 
 
 def _semantic_dedup_oracle(threshold: float, n_centroids: int) -> str:

@@ -122,3 +122,48 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
                     F.sequence(F.lit(0), n_copies - 1)).otherwise(
         F.array().cast("array<int>"))
     return df.withColumn(copy_col, F.explode(copies))
+
+
+def split_and_shuffle(df, splits: dict[str, float] | None = None,
+                      id_col: str = "doc_id", salt: str = "split3-v1",
+                      shuffle_salt: str = "shuffle-v1") -> DataFrame:
+    """Deterministic multi-way split + global shuffle key — the last
+    mile of a training-data pipeline: carve train/valid/test and give
+    every row a reproducible pseudo-random ORDER for training-time
+    shuffling, with zero RNG state.
+
+    ``splits`` maps name -> fraction (must sum to <= 1; any remainder
+    falls into the LAST split listed). Assignment compares the salted
+    md5 bucket against cumulative integer thresholds (integerized on
+    the driver, same rationale as :func:`stratified_sample`).
+    ``shuffle_key`` is the full 48-bit bucket under an independent
+    salt: sorting by it is a deterministic permutation uncorrelated
+    with the split, ids, or content — any engine (and any rerun)
+    reproduces the same epoch order.
+
+    100 TB posture: pure column expressions, no shuffle, no UDF — the
+    split predicate pushes into the scan; the global sort by
+    shuffle_key is the consumer's choice (range partition on the key
+    gives a balanced, skew-free sort because md5 is uniform).
+    """
+    if splits is None:
+        splits = {"train": 0.98, "valid": 0.01, "test": 0.01}
+    names = list(splits)
+    cum, edges = 0, []
+    for name in names[:-1]:
+        cum += int(round(splits[name] * RESOLUTION))
+        edges.append((name, cum))
+    b = sample_bucket_col(F.col(id_col), salt)
+    expr = F
+    for name, edge in edges:
+        expr = expr.when(F.col("split_bucket") < edge, F.lit(name))
+    split = expr.otherwise(F.lit(names[-1])) if edges else F.lit(names[-1])
+    shuffle_key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(shuffle_salt),
+                           F.col(id_col).cast("string")).cast("binary")),
+            1, 12),
+        16, 10).cast("long")
+    return (df.withColumn("split_bucket", b)
+            .select(F.col(id_col), "split_bucket", split.alias("split"),
+                    shuffle_key.alias("shuffle_key")))

@@ -233,3 +233,101 @@ def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
             .where(F.col("rank") <= k)
             .select("doc_id", F.col("rank").cast("int").alias("rank"),
                     "word", "tf", "score_r6"))
+
+
+def unigram_lm_score(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus-trained unigram language-model scoring — the CCNet-style
+    quality signal (per-doc mean token log-probability; low = boilerplate
+    / gibberish relative to the corpus, high = generic fluent text).
+    Self-trained: pass 1 estimates MLE word probabilities over the SAME
+    corpus, pass 2 scores every document against them.
+
+    Returns (doc_id, n_tokens, lp_micro_sum, avg_logprob_r6).
+
+    Cross-engine determinism: ln() differs by ulps between libms and
+    float SUM order differs between engines, so each word's
+    log-probability ln(count/total) is quantized to integer MICRO-NATS
+    (floor(lp*1e6 + 0.5) — floor(x+0.5), not round(), because engines
+    disagree on round-half semantics) BEFORE the per-document sum. The
+    sum is then pure int64 arithmetic — order-free and exact — and the
+    reported average divides two exact integers, so both engines round
+    the identical double.
+
+    100 TB posture: one word exchange with map-side partial agg builds
+    the vocab; the log-prob table is vocab-sized and joins back
+    BROADCAST (cap with a min-count filter when the vocab isn't
+    model-sized); the per-doc reduce is a partial-agg groupBy on
+    doc_id. Documents with zero tokens keep n_tokens=0 / score 0 via a
+    left join from the id spine, so the output is corpus-complete.
+    """
+    words = (df.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.split(F.col(text_col), " ")).alias("word"))
+               .where(F.col("word") != ""))
+    counts = words.groupBy("word").agg(F.count("*").alias("_n"))
+    total = counts.agg(F.sum("_n").alias("_total"))
+    lp = counts.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.floor(F.log(F.col("_n").cast("double")
+                      / F.col("_total").cast("double")) * 1e6 + 0.5)
+         .cast("long").alias("_lp_micro"))
+    per_doc = (words.join(F.broadcast(lp), "word")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_tokens"),
+                    F.sum("_lp_micro").alias("lp_micro_sum")))
+    spine = df.select(F.col(id_col).alias("doc_id"))
+    out = spine.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("lp_micro_sum", F.lit(0)).cast("long").alias("lp_micro_sum"))
+    return out.withColumn(
+        "avg_logprob_r6",
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("lp_micro_sum")
+                       / (F.col("n_tokens") * F.lit(1e6)), 6))
+         .otherwise(F.lit(0.0)))
+
+
+def ngram_novelty(df: DataFrame, n: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the Gopher /
+    RefinedWeb repetition-across-documents quality rule: what share of
+    a document's distinct word n-grams also appear in at least one
+    OTHER document. High fraction = boilerplate / near-duplicate
+    content; novelty = 1 - dup_frac.
+
+    Returns (doc_id, n_shingles, n_dup, dup_frac_r6) over the corpus
+    spine (docs shorter than n tokens report 0 shingles, frac 0).
+
+    dup counting is per distinct shingle (array_distinct before the
+    explode) so a doc repeating its own phrase doesn't count as
+    cross-document duplication; document frequency > 1 does.
+
+    100 TB posture: shingles are corpus-scale, so the doc-frequency
+    join is a SHUFFLED equi-join on the shingle key (never broadcast),
+    with map-side partial agg on both the frequency reduce and the
+    final per-doc rollup — the same plan shape as MinHash banding.
+    dup_frac divides two exact integers, so ROUND is cross-engine
+    stable.
+    """
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    m = F.size(t) - F.lit(n - 1)
+    sh = F.when(m > 0, F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    ex = df.select(F.col(id_col).alias("doc_id"),
+                   F.explode(F.array_distinct(sh)).alias("sh"))
+    dfreq = ex.groupBy("sh").agg(F.count("*").alias("_df"))
+    agg = (ex.join(dfreq, "sh")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_shingles"),
+                F.sum((F.col("_df") > 1).cast("long")).alias("n_dup")))
+    spine = df.select(F.col(id_col).alias("doc_id"))
+    out = spine.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"))
+    return out.withColumn(
+        "dup_frac_r6",
+        F.round(F.col("n_dup") / F.greatest(F.col("n_shingles"), F.lit(1)), 6))
