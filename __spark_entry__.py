@@ -1229,6 +1229,49 @@ def q_jl_projection(spark, sf_dir):
     return projection.jl_project(emb, in_dim=64, out_dim=16).orderBy("vec_id")
 
 
+def q_cms_topk(spark, sf_dir):
+    """Count-min-sketch heavy hitters (depth 4 x width 1024): the
+    frequency sibling of the HLL entry — md5 row-salted buckets,
+    integer counter sums, min over depth, all engine-portable so
+    DuckDB replays the sketch and every estimate exactly
+    (operators/sketch.py cms_heavy_hitters)."""
+    from tegola_spark.operators import sketch
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    return sketch.cms_heavy_hitters(docs, k=20).orderBy("rank")
+
+
+def q_exact_k_sample(spark, sf_dir):
+    """Deterministic exact-k-per-stratum sample (k=25 per lang) by
+    salted-hash priority — the partitioning-independent replacement
+    for reservoir sampling; WindowGroupLimit keeps the exchange to
+    <=k rows per stratum per partition
+    (operators/sampling.py exact_k_per_stratum)."""
+    from tegola_spark.operators import sampling
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    return (sampling.exact_k_per_stratum(docs, k=25)
+            .orderBy("lang", "doc_id"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Packed training sequences materialized: per-bin doc
+    concatenation in id order with an EOD separator, verified by md5
+    so bin-sized strings never ship. The oracle replays the flat
+    running sum, the bin grouping, and every concatenated byte
+    (operators/packing.py pack_sequences)."""
+    from tegola_spark.operators import packing, textstats
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir).select(
+        "doc_id", "text",
+        textstats.col_token_count(F.col("text")).cast("long")
+        .alias("n_tokens"))
+    return packing.pack_sequences(docs, 4096).orderBy("bin_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline at sf0.001 -> per-tile summary rows."""
     from tegola_spark.plans import pipeline
@@ -1313,6 +1356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "train_split": q_train_split,
         "jl_projection": q_jl_projection,
+        "cms_topk": q_cms_topk,
+        "exact_k_sample": q_exact_k_sample,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1736,6 +1782,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": _NGRAM_NOVELTY_SQL,
         "train_split": _TRAIN_SPLIT_SQL,
         "jl_projection": _jl_projection_oracle(),
+        "cms_topk": _CMS_TOPK_SQL,
+        "exact_k_sample": _EXACT_K_SAMPLE_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
         # mvt_tiles / mvt_layer_metrics / mvt_tiles_hier /
         # simhash_fingerprints / multimodal_decode: no SQL equivalent
         # (binary tile encode, blake2b hashes, stub decode) ->
@@ -2269,6 +2318,94 @@ _TRAIN_SPLIT_SQL = """
                     ELSE 'test' END AS split,
                shuffle_key
         FROM b ORDER BY doc_id
+"""
+
+
+# Mirrors operators/sketch.py cms_heavy_hitters: depth-4 x width-1024
+# counter grid from md5('cms-v1{r}:{word}') buckets, min over rows,
+# exact vocab counts riding along, rank ties (est desc, word asc).
+_CMS_TOPK_SQL = """
+        WITH w AS (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ), wf AS (
+          SELECT word FROM w WHERE word <> ''
+        ), wr AS (
+          SELECT word, i AS r,
+                 CAST(concat('0x', substr(md5(concat('cms-v1',
+                      CAST(i AS VARCHAR), ':', word)), 1, 8)) AS BIGINT)
+                   % 1024 AS b
+          FROM wf, unnest(range(0, 4)) AS t(i)
+        ), sk AS (
+          SELECT r, b, COUNT(*) AS cnt FROM wr GROUP BY r, b
+        ), vocab AS (
+          SELECT word, COUNT(*) AS exact_n FROM wf GROUP BY word
+        ), cand_b AS (
+          SELECT v.word, v.exact_n, i AS r,
+                 CAST(concat('0x', substr(md5(concat('cms-v1',
+                      CAST(i AS VARCHAR), ':', v.word)), 1, 8)) AS BIGINT)
+                   % 1024 AS b
+          FROM vocab v, unnest(range(0, 4)) AS t(i)
+        ), cand AS (
+          SELECT c.word, c.exact_n, MIN(sk.cnt) AS cms_est
+          FROM cand_b c JOIN sk USING (r, b)
+          GROUP BY c.word, c.exact_n
+        ), ranked AS (
+          SELECT word, cms_est, exact_n,
+                 ROW_NUMBER() OVER (ORDER BY cms_est DESC, word) AS rank
+          FROM cand
+        )
+        SELECT CAST(rank AS INTEGER) AS rank, word,
+               CAST(cms_est AS BIGINT) AS cms_est,
+               CAST(exact_n AS BIGINT) AS exact_n
+        FROM ranked WHERE rank <= 20 ORDER BY rank
+"""
+
+
+# Mirrors operators/sampling.py exact_k_per_stratum (k=25 per lang):
+# full-48-bit salted priority, rank window, ties by doc_id.
+_EXACT_K_SAMPLE_SQL = """
+        WITH p AS (
+          SELECT lang, doc_id,
+                 CAST(concat('0x', substr(md5(concat('exactk-v1',
+                      CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT) AS pri
+          FROM documents
+        ), r AS (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY pri, doc_id) AS sample_rank
+          FROM p
+        )
+        SELECT lang, doc_id, CAST(sample_rank AS INTEGER) AS sample_rank
+        FROM r WHERE sample_rank <= 25 ORDER BY lang, doc_id
+"""
+
+
+# Mirrors operators/packing.py pack_sequences (budget 4096, EOD
+# '<|eod|>'): the _PACK_BINS_SQL running sum, then per-bin ordered
+# concatenation hashed with md5 so the gate checks every byte.
+_PACK_SEQUENCES_SQL = r"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 CAST(CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END AS BIGINT) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, text, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS token_offset
+          FROM t
+        ), g AS (
+          SELECT doc_id, text, n_tokens,
+                 token_offset // 4096 AS bin_id
+          FROM c
+        )
+        SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+               md5(string_agg(text, '<|eod|>' ORDER BY doc_id)) AS seq_md5
+        FROM g GROUP BY bin_id ORDER BY bin_id
 """
 
 

@@ -74,3 +74,31 @@ def pack_bins(df: DataFrame, budget: int, tokens_col: str = "n_tokens",
     return (out.withColumn("bin_id", F.expr(f"token_offset DIV {b}"))
             .withColumn("bin_offset",
                         (F.col("token_offset") % b).cast("long")))
+
+
+def pack_sequences(df: DataFrame, budget: int, eod: str = "<|eod|>",
+                   tokens_col: str = "n_tokens", key_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Materialize the packed training sequences: every bin's
+    documents concatenated in key order with an EOD separator.
+
+    Returns (bin_id, n_docs, bin_tokens, seq_md5) — the md5 of the
+    concatenated text stands in for the sequence bytes so verification
+    never ships bin-sized strings around.
+
+    100 TB posture: one exchange on bin_id after the prefix-sum;
+    collect_list + sort_array is bounded by the token budget (a bin
+    holds at most ~budget tokens of text by construction), so per-group
+    state is O(budget), not corpus-sized.
+    """
+    binned = pack_bins(df, budget, tokens_col, key_col)
+    parts = F.sort_array(F.collect_list(
+        F.struct(F.col(key_col).alias("k"), F.col(text_col).alias("t"))))
+    return (binned.groupBy("bin_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col(tokens_col).cast("long")).alias("bin_tokens"),
+                 parts.alias("_p"))
+            .select("bin_id", "n_docs", "bin_tokens",
+                    F.md5(F.concat_ws(
+                        eod, F.transform(F.col("_p"), lambda s: s["t"]))
+                        .cast("binary")).alias("seq_md5")))

@@ -167,3 +167,33 @@ def split_and_shuffle(df, splits: dict[str, float] | None = None,
     return (df.withColumn("split_bucket", b)
             .select(F.col(id_col), "split_bucket", split.alias("split"),
                     shuffle_key.alias("shuffle_key")))
+
+
+def exact_k_per_stratum(df, k: int, strata_col: str = "lang",
+                        id_col: str = "doc_id",
+                        salt: str = "exactk-v1") -> DataFrame:
+    """Exactly min(k, n) rows per stratum, chosen by salted-hash order
+    — the distributed, deterministic replacement for reservoir
+    sampling (whose result depends on encounter order, i.e. on
+    partitioning). Every row's priority is the full 48-bit salted md5
+    bucket; the k smallest priorities win, ties broken by id.
+
+    Returns (strata, doc_id, sample_rank), rank 1..k.
+
+    100 TB posture: the rank window pushes a per-partition top-k
+    BEFORE the exchange (WindowGroupLimit), so at most k rows per
+    stratum per partition cross the wire — no stratum-sized
+    materialization anywhere, unlike reservoir merges.
+    """
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt),
+                           F.col(id_col).cast("string")).cast("binary")),
+            1, 12),
+        16, 10).cast("long")
+    from pyspark.sql import Window
+    w = Window.partitionBy(strata_col).orderBy(F.col("_pri"), F.col(id_col))
+    return (df.select(F.col(strata_col), F.col(id_col), pri.alias("_pri"))
+            .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+            .where(F.col("sample_rank") <= k)
+            .select(strata_col, id_col, "sample_rank"))

@@ -63,3 +63,54 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str,
                  ).otherwise(raw_e)
     return per.select(group_col, "n_registers",
                       F.round(est, 6).alias(out_col))
+
+
+def cms_heavy_hitters(df: DataFrame, text_col: str = "text", k: int = 20,
+                      depth: int = 4, width: int = 1024,
+                      salt: str = "cms-v1") -> DataFrame:
+    """Count-min-sketch heavy hitters over corpus tokens — the
+    HLL's sibling for FREQUENCY: the sketch state is depth x width
+    int64 counters (32 KB here), built with one map-side-combined
+    exchange whose key space is the counter grid, never the vocab.
+    Like the HLL, every primitive is engine-portable (md5 row-salted
+    buckets, integer sums, min over depth), so DuckDB replays the
+    sketch AND the estimates bit-for-bit.
+
+    Returns the top-k tokens by CMS estimate with their exact counts
+    riding along (rank, word, cms_est, exact_n) — est >= exact always
+    (one-sided collision error), equality for tokens with
+    collision-free rows; rank ties break (est desc, word asc).
+
+    Candidate enumeration here walks the exact vocabulary so the
+    oracle can check every estimate; in a pure-sketch deployment the
+    candidate set comes from per-partition heavy-keepers (or a probe
+    list) and the SKETCH is the only corpus-wide state — that is the
+    part this entry proves portable. The sketch is mergeable by
+    elementwise +, so per-shard sketches combine without re-reading
+    text (the same posture as the HLL register max).
+    """
+    rows = F.array(*[F.lit(r) for r in range(depth)])
+    words = (df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+               .where(F.col("word") != ""))
+
+    def bucket(r_col, word_col):
+        return F.conv(F.substring(F.md5(
+            F.concat(F.lit(salt), r_col.cast("string"), F.lit(":"),
+                     word_col).cast("binary")), 1, 8),
+            16, 10).cast("long") % F.lit(width)
+
+    wr = words.select("word", F.explode(rows).alias("r"))
+    sketch = (wr.groupBy("r", bucket(F.col("r"), F.col("word")).alias("b"))
+                .agg(F.count("*").alias("cnt")))
+    vocab = words.groupBy("word").agg(F.count("*").alias("exact_n"))
+    cand = (vocab.select("word", "exact_n", F.explode(rows).alias("r"))
+            .withColumn("b", bucket(F.col("r"), F.col("word")))
+            .join(F.broadcast(sketch), ["r", "b"])
+            .groupBy("word")
+            .agg(F.first("exact_n").alias("exact_n"),
+                 F.min("cnt").alias("cms_est")))
+    top = cand.orderBy(F.desc("cms_est"), "word").limit(k)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("cms_est"), "word")
+    return top.withColumn("rank", F.row_number().over(w).cast("int")) \
+              .select("rank", "word", "cms_est", "exact_n")
