@@ -1272,6 +1272,19 @@ def q_pack_sequences(spark, sf_dir):
     return packing.pack_sequences(docs, 4096).orderBy("bin_id")
 
 
+def q_quality_cut(spark, sf_dir):
+    """Percentile quality filter: keep docs at or above the corpus P10
+    unigram-LM score — composes two oracle-proven operators
+    (unigram_lm_score -> exact type-1 quantile threshold), so the
+    whole drop decision replays in DuckDB
+    (operators/textstats.py quality_cut)."""
+    from tegola_spark.operators import textstats
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    return textstats.quality_cut(docs, q=0.1).orderBy("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline at sf0.001 -> per-tile summary rows."""
     from tegola_spark.plans import pipeline
@@ -1359,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q_cms_topk,
         "exact_k_sample": q_exact_k_sample,
         "pack_sequences": q_pack_sequences,
+        "quality_cut": q_quality_cut,
     }
 
 
@@ -1785,6 +1799,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_topk": _CMS_TOPK_SQL,
         "exact_k_sample": _EXACT_K_SAMPLE_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
+        "quality_cut": _QUALITY_CUT_SQL,
         # mvt_tiles / mvt_layer_metrics / mvt_tiles_hier /
         # simhash_fingerprints / multimodal_decode: no SQL equivalent
         # (binary tile encode, blake2b hashes, stub decode) ->
@@ -2318,6 +2333,48 @@ _TRAIN_SPLIT_SQL = """
                     ELSE 'test' END AS split,
                shuffle_key
         FROM b ORDER BY doc_id
+"""
+
+
+# Mirrors operators/textstats.py quality_cut (q=0.1): the unigram-LM
+# micro-nat scoring CTEs, then the exact type-1 P10 threshold (value
+# at rank ceil(0.1*n) over the ROUNDED scores) and the keep filter.
+_QUALITY_CUT_SQL = """
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents
+        ), wf AS (
+          SELECT doc_id, word FROM w WHERE word <> ''
+        ), c AS (
+          SELECT word, COUNT(*) AS n FROM wf GROUP BY word
+        ), tot AS (
+          SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c
+        ), lp AS (
+          SELECT word,
+                 CAST(floor(ln(CAST(n AS DOUBLE) / tot.total) * 1e6 + 0.5)
+                      AS BIGINT) AS lp_micro
+          FROM c, tot
+        ), agg AS (
+          SELECT wf.doc_id, COUNT(*) AS n_tokens, SUM(lp.lp_micro) AS s
+          FROM wf JOIN lp USING (word) GROUP BY wf.doc_id
+        ), scored AS (
+          SELECT doc_id,
+                 ROUND(CAST(s AS BIGINT) / (n_tokens * 1e6), 6)
+                   AS avg_logprob_r6
+          FROM agg WHERE n_tokens > 0
+        ), ranked AS (
+          SELECT doc_id, avg_logprob_r6,
+                 ROW_NUMBER() OVER (ORDER BY avg_logprob_r6) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM scored
+        ), thr AS (
+          SELECT avg_logprob_r6 AS threshold_r6 FROM ranked
+          WHERE rn = CAST(ceil(0.1 * n) AS INT)
+        )
+        SELECT s.doc_id, s.avg_logprob_r6, t.threshold_r6
+        FROM scored s, thr t
+        WHERE s.avg_logprob_r6 >= t.threshold_r6
+        ORDER BY s.doc_id
 """
 
 

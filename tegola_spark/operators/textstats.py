@@ -331,3 +331,34 @@ def ngram_novelty(df: DataFrame, n: int = 5, text_col: str = "text",
     return out.withColumn(
         "dup_frac_r6",
         F.round(F.col("n_dup") / F.greatest(F.col("n_shingles"), F.lit(1)), 6))
+
+
+def quality_cut(df: DataFrame, q: float = 0.1, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Percentile quality filter — the step that actually DROPS data:
+    keep documents whose unigram-LM score sits at or above the
+    corpus's q-th percentile. Composes two oracle-proven operators
+    (unigram_lm_score -> stats.exact_quantiles), so the whole decision
+    is engine-replayable: the threshold is the exact type-1 quantile
+    of the ROUNDED scores (no approx-percentile sketch, no float-order
+    dependence).
+
+    Returns (doc_id, avg_logprob_r6, threshold_r6) for kept documents
+    (token-less documents are excluded before the percentile so they
+    can't drag the threshold).
+
+    100 TB posture: the scoring plan is unigram_lm_score's; the
+    threshold adds one window sort over the score column plus a
+    1-row broadcast — the filter itself is a pushable comparison.
+    """
+    from tegola_spark.operators.stats import exact_quantiles
+
+    scored = unigram_lm_score(df, text_col, id_col) \
+        .where(F.col("n_tokens") > 0)
+    thr = exact_quantiles(
+        scored.select(F.lit(0).alias("_g"), F.col("avg_logprob_r6")),
+        "_g", "avg_logprob_r6", qs=(q,)) \
+        .select(F.col("value").alias("threshold_r6"))
+    return (scored.crossJoin(F.broadcast(thr))
+            .where(F.col("avg_logprob_r6") >= F.col("threshold_r6"))
+            .select("doc_id", "avg_logprob_r6", "threshold_r6"))

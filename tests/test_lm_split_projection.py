@@ -157,3 +157,30 @@ def test_sign_matrix_deterministic_and_balanced():
     flat = [s for row in m1 for s in row]
     assert set(flat) == {1.0, -1.0}
     assert 0.35 < flat.count(1.0) / len(flat) < 0.65
+
+
+# --------------------------------------------------------------- quality cut
+
+
+def test_quality_cut_keeps_top_90pct(spark):
+    from tegola_spark.operators.textstats import quality_cut
+    rows = [(i, f"common common shared{i % 10} word{i % 4}")
+            for i in range(100)]
+    # low-probability docs with DISTINCT scores (varying hapax/common
+    # mix), so the P10 threshold actually separates instead of tying
+    rows += [(1000 + i,
+              " ".join([f"h{i}x{j}" for j in range(4)] + ["common"] * i))
+             for i in range(20)]
+    out = quality_cut(_docs(spark, rows), q=0.1).collect()
+    kept = {r["doc_id"] for r in out}
+    n_total = 120
+    assert len(kept) >= 0.85 * n_total  # >= P10 keeps ~90%
+    # every kept score >= the (single, shared) threshold
+    thr = {r["threshold_r6"] for r in out}
+    assert len(thr) == 1
+    t = thr.pop()
+    assert all(r["avg_logprob_r6"] >= t for r in out)
+    # the hapax docs are the low scorers: dropped set comes from them
+    dropped = set(range(100)) | {1000 + i for i in range(20)}
+    dropped -= kept
+    assert dropped and all(d >= 1000 for d in dropped)
