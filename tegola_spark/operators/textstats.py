@@ -347,18 +347,21 @@ def quality_cut(df: DataFrame, q: float = 0.1, text_col: str = "text",
     (token-less documents are excluded before the percentile so they
     can't drag the threshold).
 
-    100 TB posture: the scoring plan is unigram_lm_score's; the
-    threshold adds one window sort over the score column plus a
-    1-row broadcast — the filter itself is a pushable comparison.
+    100 TB posture: the scored frame (doc-count-sized, 4 narrow
+    columns) is PERSISTED across its two consumers so the corpus-side
+    scoring runs once; the threshold comes from stats.global_quantile
+    — a range-repartitioned exact order statistic whose only driver
+    materialization is one row per partition (never the
+    single-partition sort a one-global-group window would force);
+    the keep filter is a 1-row broadcast comparison.
     """
-    from tegola_spark.operators.stats import exact_quantiles
+    from tegola_spark.operators.stats import global_quantile
 
-    scored = unigram_lm_score(df, text_col, id_col) \
-        .where(F.col("n_tokens") > 0)
-    thr = exact_quantiles(
-        scored.select(F.lit(0).alias("_g"), F.col("avg_logprob_r6")),
-        "_g", "avg_logprob_r6", qs=(q,)) \
-        .select(F.col("value").alias("threshold_r6"))
+    scored = (unigram_lm_score(df, text_col, id_col)
+              .where(F.col("n_tokens") > 0)
+              .persist())
+    thr = global_quantile(scored, "avg_logprob_r6", q) \
+        .select(F.col("v").alias("threshold_r6"))
     return (scored.crossJoin(F.broadcast(thr))
             .where(F.col("avg_logprob_r6") >= F.col("threshold_r6"))
             .select("doc_id", "avg_logprob_r6", "threshold_r6"))

@@ -44,3 +44,28 @@ def test_multiple_groups_independent(spark):
     got = _q(df, (0.5,))
     assert got[(0, 0.5)] == (4, 2.0)
     assert got[(1, 0.5)] == (4, 200.0)
+
+
+def test_global_quantile_matches_sorted_list(spark):
+    import math
+
+    from tegola_spark.operators.stats import global_quantile
+    vals = [float(v) for v in [5, 1, 9, 3, 3, 7, 2, 8, 3, 6, 4, 0]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    s = sorted(vals)
+    for q in (0.1, 0.5, 0.9, 1.0):
+        want = s[max(1, math.ceil(q * len(s))) - 1]
+        for parts in (1, 4, 11):
+            got = global_quantile(df.repartition(parts), "x", q).collect()
+            assert len(got) == 1 and got[0]["v"] == want, (q, parts)
+
+
+def test_global_quantile_heavy_ties(spark):
+    from pyspark.sql import functions as F
+
+    from tegola_spark.operators.stats import global_quantile
+    # 1000 rows, only 3 distinct values -> ties straddle partitions
+    df = spark.range(1000).select((F.col("id") % 3).cast("double").alias("x"))
+    assert global_quantile(df, "x", 0.5).collect()[0]["v"] == 1.0
+    assert global_quantile(df, "x", 0.01).collect()[0]["v"] == 0.0
+    assert global_quantile(df, "x", 0.99).collect()[0]["v"] == 2.0
