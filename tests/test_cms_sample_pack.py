@@ -101,3 +101,33 @@ def test_pack_sequences_partition_invariance_and_totals(spark):
     b = pack_sequences(df.repartition(23), 64).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert sum(r["n_docs"] for r in a) == 200
+
+
+# ------------------------------------------------------------ plan guards
+
+
+def test_exact_k_plan_pushes_partial_topk(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"),
+                                 (F.col("id") % 3).cast("string").alias("lang"))
+    plan = exact_k_per_stratum(df, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the map-side (Partial) group limit must exist: at most k rows per
+    # stratum per partition cross the exchange
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_split_and_jl_are_map_only(spark):
+    from tegola_spark.operators.projection import jl_project
+    from tegola_spark.operators.sampling import split_and_shuffle
+
+    ids = spark.range(50).select(F.col("id").alias("doc_id"))
+    plan = split_and_shuffle(ids)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan  # pure scan-stage expressions
+    emb = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") + F.lit(float(j))).cast("float")
+                  for j in range(8)]).alias("embedding"))
+    plan = jl_project(emb, in_dim=8, out_dim=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
