@@ -1285,6 +1285,65 @@ def q_quality_cut(spark, sf_dir):
     return textstats.quality_cut(docs, q=0.1).orderBy("doc_id")
 
 
+def q_domain_pagerank(spark, sf_dir):
+    """Iterative graph centrality: integer-exact PageRank (5 sweeps,
+    damping 0.85, dangling mass redistributed) over the deterministic
+    domain link graph derived from the corpus — the Common-Crawl
+    host-rank operation. All mass lives in int64 micro-units with
+    floored division, so DuckDB replays every sweep exactly
+    (operators/graph.py)."""
+    from tegola_spark.operators import graph
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    return graph.domain_pagerank(spark, docs, iters=5).orderBy("domain")
+
+
+def q_latest_snapshot(spark, sf_dir):
+    """CDX-style crawl-snapshot collapse: keep the latest capture per
+    URL via one max_by aggregation (map-side partial, no window). The
+    snapshot table is the pages corpus re-keyed onto 128 recrawl URLs
+    so each logical URL carries several captures
+    (operators/dedup.py latest_snapshot)."""
+    from tegola_spark.operators import dedup
+    from tegola_spark.sources import corpus
+
+    snaps = corpus.pages(spark, sf_dir).select(
+        F.concat(F.lit("https://recrawl.example.com/p"),
+                 (F.col("doc_id") % 128).cast("string")).alias("url"),
+        "doc_id",
+        F.col("warc_ts").cast("long").alias("ts_epoch"))
+    return dedup.latest_snapshot(
+        snaps, key_col="url", ts_col="ts_epoch").orderBy("url")
+
+
+def q_edit_distance_verify(spark, sf_dir):
+    """Cascade fuzzy-dedup verification: LSH candidates -> exact
+    trigram-jaccard filter (the minhash_pairs contract) -> exact
+    Levenshtein distance with an all-integer similarity decision
+    (5*dist <= 2*max_len, i.e. edit similarity >= 0.6). The oracle
+    recomputes the candidate set from ALL pairs, so missed candidates
+    still turn the entry red (operators/dedup.py edit_distance_verify)."""
+    from tegola_spark.operators import dedup, textstats
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    cand = dedup.minhash_lsh_pairs(docs, threshold=0.0) \
+        .select("id_a", "id_b")
+    d = docs.select(F.col("doc_id"),
+                    textstats.col_word_ngrams(F.col("text")).alias("g"))
+    verified = (
+        cand.join(d.select(F.col("doc_id").alias("id_a"),
+                           F.col("g").alias("ga")), "id_a")
+        .join(d.select(F.col("doc_id").alias("id_b"),
+                       F.col("g").alias("gb")), "id_b")
+        .where(F.round(textstats.col_jaccard(F.col("ga"), F.col("gb")),
+                       6) >= 0.6)
+        .select("id_a", "id_b"))
+    return dedup.edit_distance_verify(docs, verified) \
+        .orderBy("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline at sf0.001 -> per-tile summary rows."""
     from tegola_spark.plans import pipeline
@@ -1373,6 +1432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_k_sample": q_exact_k_sample,
         "pack_sequences": q_pack_sequences,
         "quality_cut": q_quality_cut,
+        "domain_pagerank": q_domain_pagerank,
+        "latest_snapshot": q_latest_snapshot,
+        "edit_distance_verify": q_edit_distance_verify,
     }
 
 
@@ -1800,6 +1862,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_k_sample": _EXACT_K_SAMPLE_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "quality_cut": _QUALITY_CUT_SQL,
+        "domain_pagerank": _pagerank_oracle(5),
+        "latest_snapshot": _LATEST_SNAPSHOT_SQL,
+        "edit_distance_verify": _EDIT_DISTANCE_VERIFY_SQL,
         # mvt_tiles / mvt_layer_metrics / mvt_tiles_hier /
         # simhash_fingerprints / multimodal_decode: no SQL equivalent
         # (binary tile encode, blake2b hashes, stub decode) ->
@@ -3183,3 +3248,93 @@ def _knn_oracle() -> str:
                doc_id, dist_sq
         FROM ranked WHERE rank <= 5
     """
+
+
+# ---------------------------------------------------------------------------
+# round-5 graph / crawl-collapse / edit-verify oracles
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled integer PageRank replay (operators/graph.py): one
+    contrib/dangling/pr CTE triple per sweep, all arithmetic int64
+    micro-units with floored division so both engines agree exactly."""
+    sql = ["""
+        WITH docs AS (
+          SELECT doc_id, source || '.example.com' AS domain FROM documents
+        ), nd AS (SELECT COUNT(*) AS c FROM documents),
+        links AS (
+          SELECT domain AS src,
+                 CAST(concat('0x', substr(md5('links-v1' ||
+                      CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                   % (SELECT c FROM nd) AS tgt_id
+          FROM docs
+        ), raw AS (
+          SELECT l.src, t.domain AS dst
+          FROM links l JOIN docs t ON t.doc_id = l.tgt_id
+        ), edges AS (
+          SELECT src, dst, COUNT(*) AS w FROM raw
+          WHERE src <> dst GROUP BY 1, 2
+        ), nodes AS (SELECT DISTINCT domain FROM docs),
+        nn AS (SELECT COUNT(*) AS c FROM nodes),
+        outdeg AS (SELECT src AS domain, SUM(w) AS od FROM edges GROUP BY 1),
+        pr0 AS (SELECT domain, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""]
+    for k in range(1, iters + 1):
+        sql.append(f""",
+        contrib{k} AS (
+          SELECT e.dst AS domain, SUM(e.w * (p.pr // o.od)) AS inflow
+          FROM edges e
+          JOIN pr{k - 1} p ON p.domain = e.src
+          JOIN outdeg o ON o.domain = e.src
+          GROUP BY 1
+        ), dang{k} AS (
+          SELECT COALESCE(SUM(p.pr), 0) AS dm
+          FROM pr{k - 1} p LEFT JOIN outdeg o ON o.domain = p.domain
+          WHERE o.od IS NULL
+        ), pr{k} AS (
+          SELECT n.domain,
+                 CAST(150000 + (85 * (COALESCE(c.inflow, 0)
+                      + (SELECT dm FROM dang{k}) // (SELECT c FROM nn)))
+                      // 100 AS BIGINT) AS pr
+          FROM nodes n LEFT JOIN contrib{k} c ON c.domain = n.domain
+        )""")
+    sql.append(f"""
+        SELECT p.domain, p.pr AS pr_micro,
+               CAST(COALESCE(o.od, 0) AS BIGINT) AS out_weight
+        FROM pr{iters} p LEFT JOIN outdeg o ON o.domain = p.domain
+        ORDER BY p.domain""")
+    return "".join(sql)
+
+
+_LATEST_SNAPSHOT_SQL = """
+        WITH snaps AS (
+          SELECT 'https://recrawl.example.com/p' ||
+                   CAST(doc_id % 128 AS VARCHAR) AS url,
+                 doc_id,
+                 CAST(1735689600 + doc_id % 31536000 AS BIGINT) AS ts_epoch
+          FROM documents
+        ), ranked AS (
+          SELECT url, doc_id, ts_epoch,
+                 ROW_NUMBER() OVER (PARTITION BY url
+                     ORDER BY ts_epoch DESC, doc_id DESC) AS rn,
+                 COUNT(*) OVER (PARTITION BY url) AS n_snapshots
+          FROM snaps
+        )
+        SELECT url, doc_id, ts_epoch, CAST(n_snapshots AS BIGINT) AS n_snapshots
+        FROM ranked WHERE rn = 1 ORDER BY url
+"""
+
+_EDIT_DISTANCE_VERIFY_SQL = f"""
+        WITH pairs AS (
+          {_TRIGRAM_JACCARD_SQL}
+        )
+        SELECT p.id_a, p.id_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+               CAST(greatest(length(a.text), length(b.text)) AS BIGINT)
+                 AS max_len,
+               5 * levenshtein(a.text, b.text)
+                 <= 2 * greatest(length(a.text), length(b.text)) AS is_editdup
+        FROM pairs p
+        JOIN documents a ON a.doc_id = p.id_a
+        JOIN documents b ON b.doc_id = p.id_b
+        ORDER BY p.id_a, p.id_b
+"""

@@ -378,3 +378,61 @@ def span_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.array_join(
             F.transform(F.col("_kept_pos"), lambda p: F.get(spans_ref, p)),
             " ").alias("text_dedup"))
+
+
+def latest_snapshot(snaps: DataFrame, key_col: str = "url",
+                    ts_col: str = "warc_ts",
+                    tie_col: str = "doc_id") -> DataFrame:
+    """CDX-style snapshot collapse: a crawl archive holds many fetches
+    of the same URL; training pipelines keep exactly one — the latest
+    capture — per URL (the index-server "collapse=urlkey" operation).
+
+    One aggregation, no window: ``max_by`` over the composite
+    ``(ts, tie)`` ordering key picks the winning row while the same
+    groupBy counts snapshots, so the plan is a single exchange on the
+    URL key with map-side partial aggregation — at 10^12 rows each
+    task forwards at most one candidate row per URL it sees, vs a
+    row_number window that would materialize every snapshot on the
+    reducer.  ``tie_col`` must make the ordering key unique
+    (capture ids are); determinism does not depend on encounter order.
+    """
+    win = F.max_by(
+        F.struct(F.col(tie_col).alias("tie"), F.col(ts_col).alias("ts")),
+        F.struct(F.col(ts_col), F.col(tie_col)))
+    return (snaps.groupBy(key_col)
+            .agg(win.alias("_top"), F.count("*").alias("n_snapshots"))
+            .select(key_col,
+                    F.col("_top.tie").alias(tie_col),
+                    F.col("_top.ts").alias(ts_col),
+                    "n_snapshots"))
+
+
+def edit_distance_verify(df: DataFrame, pairs: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Second-stage verifier for near-dup candidate pairs: exact
+    Levenshtein distance, evaluated ONLY on the candidate set (the
+    cascade cheap-sketch -> exact-jaccard -> edit-distance that real
+    fuzzy-dedup pipelines run before choosing a cluster survivor).
+
+    Output is all-integer — ``edit_dist``, ``max_len``, and the
+    scale-free similarity decision ``5 * dist <= 2 * max_len``
+    (edit similarity >= 0.6) — so a second engine replays it with no
+    float anywhere.  ``levenshtein`` is JVM-side per pair; cost is
+    O(len^2) per CANDIDATE, never per corpus pair, which is the whole
+    point of running it after the sketch stages.
+    """
+    t = df.select(F.col(id_col), F.col(text_col))
+    out = (pairs
+           .join(t.select(F.col(id_col).alias("id_a"),
+                          F.col(text_col).alias("_ta")), "id_a")
+           .join(t.select(F.col(id_col).alias("id_b"),
+                          F.col(text_col).alias("_tb")), "id_b")
+           .select(
+               "id_a", "id_b",
+               F.levenshtein("_ta", "_tb").cast("long").alias("edit_dist"),
+               F.greatest(F.length("_ta"), F.length("_tb"))
+               .cast("long").alias("max_len")))
+    return out.withColumn(
+        "is_editdup",
+        (F.lit(5) * F.col("edit_dist") <= F.lit(2) * F.col("max_len")))

@@ -1,0 +1,151 @@
+"""Link-graph construction + iterative PageRank over crawl domains.
+
+A Common-Crawl-style corpus is a web graph as much as a document set:
+host-level centrality (Common Crawl publishes exactly this as its
+host/domain ranks) drives crawl prioritization, seed-quality weighting,
+and spam demotion.  The reference tile engine has no graph operator, so
+this module is one of the engine's training-data extras; the companion
+iterative op is ``clusters.connected_components`` (min-label
+propagation), while PageRank adds weighted propagation, a damping term,
+and dangling-mass redistribution.
+
+Determinism / oracle design
+---------------------------
+PageRank is usually float-iterated, which can never be replayed
+bit-for-bit by a second engine (sum order is plan-dependent).  This
+implementation keeps ALL mass in integer micro-units (int64, 1e6 =
+rank 1.0) and floors every division, so each iteration is exact
+integer arithmetic with a plan-independent result: Spark's ``div`` and
+DuckDB's ``//`` agree on non-negative operands, and int64 sums are
+associative.  The floor steps leak at most ``outdeg(u)`` micro-units
+per node per iteration — a deliberate, engine-independent rounding
+rule, not numerical noise (same idea as textstats.unigram_lm_score's
+micro-nat integers).
+
+100 TB posture
+--------------
+- Each iteration is ONE shuffle on the edge table: ``edges ⋈ pr`` on
+  ``src`` (rank frame is node-sized — AQE broadcasts it when small,
+  shuffled-hash otherwise) followed by ``groupBy(dst).sum`` with
+  map-side partial aggregation.  Edge rows never leave their
+  partitioning between iterations if ``edges`` is pre-partitioned by
+  ``src``.
+- The dangling-mass term is an O(1)-row action per iteration (one
+  aggregated scalar), the same driver traffic class as the
+  convergence probe in ``connected_components``.
+- ``localCheckpoint()`` truncates lineage each round so the plan stays
+  flat across iterations (the iterative-DataFrame trap).
+- Fixed iteration count (default 5): at trillion-edge scale rank jobs
+  run a budgeted number of sweeps, not to convergence; the integer
+  recurrence makes every sweep reproducible and resumable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SCALE = 1_000_000          # micro-units per unit of rank mass
+DAMP_NUM, DAMP_DEN = 85, 100   # damping factor 0.85 as an exact rational
+LINK_SALT = "links-v1"
+
+
+def _md5_48(col, salt: str):
+    """First 48 bits of md5(salt || value) as a non-negative int64 —
+    the repo's portable hash recipe (operators/sampling.py:40)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), col.cast("string")).cast("binary")),
+            1, 12),
+        16, 10).cast("long")
+
+
+def link_graph(docs: DataFrame, n_docs: int) -> DataFrame:
+    """Derive the deterministic domain link graph from the documents
+    corpus: every document links from its own domain
+    (``source || '.example.com'``, the same host the corpus's page
+    urls live under, sources/corpus.py:118-121) to the domain of a
+    target document picked by a salted md5 of its id.  No RNG, no
+    external data — DuckDB replays the derivation exactly.
+
+    Returns weighted edges ``(src, dst, w)`` with self-loops removed
+    (a domain citing itself is not a ranking signal).  The target
+    lookup is an equi-join into the corpus — the same shape as real
+    link resolution (href -> page row).
+    """
+    d = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("domain"))
+    tgt = (_md5_48(F.col("doc_id"), LINK_SALT) % F.lit(n_docs)).alias("tgt_id")
+    src_side = d.select(F.col("domain").alias("src"), tgt)
+    dst_side = d.select(F.col("doc_id").alias("tgt_id"),
+                        F.col("domain").alias("dst"))
+    return (src_side.join(dst_side, "tgt_id")
+            .where(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst").agg(F.count("*").alias("w")))
+
+
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Integer-exact PageRank.
+
+    ``nodes``: one row per node, column ``domain``.  ``edges``:
+    ``(src, dst, w)`` weighted directed edges (w = parallel-edge
+    count).  Returns ``(domain, pr_micro)`` after ``iters`` sweeps of
+
+        pr'(v) = (15 * SCALE) div 100
+                 + (85 * (inflow(v) + dangling_mass div N)) div 100
+        inflow(v) = Σ_{(u,v,w)} w * (pr(u) div outdeg(u))
+
+    where outdeg(u) = Σ w over u's out-edges and dangling_mass is the
+    summed rank of nodes with no out-edges.  Every operation is int64;
+    see module docstring for why this is the replayable formulation.
+    """
+    outdeg = edges.groupBy(F.col("src").alias("domain")) \
+                  .agg(F.sum("w").alias("od"))
+    n_nodes = nodes.count()
+    base = (DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN
+
+    pr = nodes.select("domain", F.lit(SCALE).cast("long").alias("pr")) \
+              .localCheckpoint()
+    for _ in range(iters):
+        contrib = (edges
+                   .join(pr.withColumnRenamed("domain", "src"), "src")
+                   .join(outdeg.withColumnRenamed("domain", "src")
+                               .withColumnRenamed("od", "src_od"), "src")
+                   .select(F.col("dst").alias("domain"),
+                           (F.col("w") * F.expr("pr div src_od"))
+                           .alias("c"))
+                   .groupBy("domain").agg(F.sum("c").alias("inflow")))
+        # dangling mass: one aggregated scalar per sweep (O(1) driver rows)
+        dang = (pr.join(outdeg, "domain", "left_anti")
+                  .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("dm"))
+                  .collect()[0]["dm"])
+        share = dang // n_nodes
+        pr = (nodes.join(contrib, "domain", "left")
+              .select(
+                  "domain",
+                  (F.lit(base)
+                   + F.expr(f"({DAMP_NUM} * (coalesce(inflow, 0) + {share}))"
+                            f" div {DAMP_DEN}")).cast("long").alias("pr"))
+              .localCheckpoint())
+    return pr.select("domain", F.col("pr").alias("pr_micro"))
+
+
+def domain_pagerank(spark: SparkSession, docs: DataFrame,
+                    n_docs: int | None = None, iters: int = 5) -> DataFrame:
+    """End-to-end domain rank over the corpus link graph: derive
+    edges, run ``iters`` integer PageRank sweeps, and attach each
+    domain's total out-link weight.  Output
+    ``(domain, pr_micro, out_weight)``, one row per domain."""
+    if n_docs is None:
+        n_docs = docs.count()
+    edges = link_graph(docs, n_docs).localCheckpoint()
+    nodes = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("domain")) \
+        .distinct()
+    ranks = pagerank(nodes, edges, iters=iters)
+    outdeg = edges.groupBy(F.col("src").alias("domain")) \
+                  .agg(F.sum("w").alias("out_weight"))
+    return (ranks.join(outdeg, "domain", "left")
+            .select("domain", "pr_micro",
+                    F.coalesce(F.col("out_weight"), F.lit(0))
+                    .cast("long").alias("out_weight")))
