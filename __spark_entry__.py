@@ -1344,6 +1344,30 @@ def q_edit_distance_verify(spark, sf_dir):
         .orderBy("id_a", "id_b")
 
 
+def q_rolling_window(spark, sf_dir):
+    """Trailing 1-hour per-user event count + value sum via a RANGE
+    window frame over epoch seconds — time-distance frames are
+    row-order independent (co-timestamped events are peers) and the
+    value rides in exact micro-unit int64
+    (operators/temporal.py rolling_user_stats)."""
+    from tegola_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return temporal.rolling_user_stats(ev).orderBy("event_id")
+
+
+def q_inverted_index(spark, sf_dir):
+    """Term posting lists (df, total tf, sorted doc:tf string) over the
+    corpus — the retrieval-index artifact; deterministic via sort_array
+    over collected (doc, tf) structs
+    (operators/textstats.py inverted_index)."""
+    from tegola_spark.operators import textstats
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    return textstats.inverted_index(docs, min_df=2).orderBy("term")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline at sf0.001 -> per-tile summary rows."""
     from tegola_spark.plans import pipeline
@@ -1435,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": q_domain_pagerank,
         "latest_snapshot": q_latest_snapshot,
         "edit_distance_verify": q_edit_distance_verify,
+        "rolling_window": q_rolling_window,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -1865,6 +1891,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_pagerank": _pagerank_oracle(5),
         "latest_snapshot": _LATEST_SNAPSHOT_SQL,
         "edit_distance_verify": _EDIT_DISTANCE_VERIFY_SQL,
+        "rolling_window": _ROLLING_WINDOW_SQL,
+        "inverted_index": _INVERTED_INDEX_SQL,
         # mvt_tiles / mvt_layer_metrics / mvt_tiles_hier /
         # simhash_fingerprints / multimodal_decode: no SQL equivalent
         # (binary tile encode, blake2b hashes, stub decode) ->
@@ -3337,4 +3365,38 @@ _EDIT_DISTANCE_VERIFY_SQL = f"""
         JOIN documents a ON a.doc_id = p.id_a
         JOIN documents b ON b.doc_id = p.id_b
         ORDER BY p.id_a, p.id_b
+"""
+
+
+_ROLLING_WINDOW_SQL = """
+        WITH e AS (
+          SELECT event_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                 CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vm
+          FROM events
+        )
+        SELECT event_id, user_id, ep,
+               CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+               CAST(SUM(vm) OVER w AS BIGINT) AS roll_sum_micro
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ep
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+"""
+
+_INVERTED_INDEX_SQL = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT term, doc_id, COUNT(*) AS tf
+          FROM toks WHERE term <> '' GROUP BY 1, 2
+        )
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS tf_total,
+               string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+                 AS postings
+        FROM tf GROUP BY term HAVING COUNT(*) >= 2
+        ORDER BY term
 """

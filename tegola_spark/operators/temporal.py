@@ -139,3 +139,38 @@ def time_rollup(ev: DataFrame, ts_col: str = "ts", value_col: str = "value",
                   .withColumn("level_s", F.lit(nxt).cast("long")))
         out = out.unionByName(cur)
     return out
+
+
+def rolling_user_stats(ev: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts", value_col: str = "value",
+                       id_col: str = "event_id",
+                       window_s: int = 3600) -> DataFrame:
+    """Trailing time-window aggregates per entity: at every event, the
+    count and value-sum of that user's events in the preceding
+    ``window_s`` seconds (inclusive) — the rate-limit / burst-feature
+    window every abuse and engagement pipeline computes.
+
+    Uses a RANGE frame over the epoch-seconds key, NOT a row frame:
+    the frame is defined by time distance, so co-timestamped events
+    are peers and the result is independent of within-partition row
+    order (deterministic under any shuffle).  The value is integerized
+    to micro-units (``floor(v * 1e6 + 0.5)``, the unigram_lm recipe)
+    so the windowed sum is exact int64 in any accumulation order.
+
+    One exchange on the user key; each partition then sorts locally
+    and streams the frame with a sliding two-pointer — state is the
+    open window, not the partition.  Hot-user skew is bounded by
+    per-user event counts (AQE skew splitting cannot split a window
+    partition, so a truly pathological key would need a two-level
+    pre-aggregate by (user, coarse bucket) — not warranted here).
+    """
+    ep = F.unix_timestamp(F.col(ts_col)).cast("long")
+    vm = F.floor(F.col(value_col) * 1e6 + F.lit(0.5)).cast("long")
+    base = ev.select(F.col(id_col), F.col(user_col),
+                     ep.alias("ep"), vm.alias("vm"))
+    w = (Window.partitionBy(user_col).orderBy("ep")
+         .rangeBetween(-(window_s - 1), 0))
+    return base.select(
+        id_col, user_col, "ep",
+        F.count("*").over(w).cast("long").alias("roll_n"),
+        F.sum("vm").over(w).cast("long").alias("roll_sum_micro"))

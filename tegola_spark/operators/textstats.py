@@ -365,3 +365,46 @@ def quality_cut(df: DataFrame, q: float = 0.1, text_col: str = "text",
     return (scored.crossJoin(F.broadcast(thr))
             .where(F.col("avg_logprob_r6") >= F.col("threshold_r6"))
             .select("doc_id", "avg_logprob_r6", "threshold_r6"))
+
+
+def inverted_index(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 2,
+                   max_df: int | None = None) -> DataFrame:
+    """Build term posting lists: for every term, its document
+    frequency, total term frequency, and the sorted ``doc:tf`` posting
+    list — the search-index artifact a retrieval/decontamination stack
+    builds over the corpus.
+
+    Two aggregations, both with map-side partials: (term, doc) tf
+    counts, then per-term collect.  ``sort_array`` over the collected
+    (doc_id, tf) structs makes the posting string deterministic
+    regardless of collect order; the list is emitted as a joined
+    string because postings are an opaque payload downstream (and a
+    second engine replays it with ordered string_agg).
+
+    At 100 TB the long tail is fine (postings ~ df) but stop-term
+    lists are corpus-sized: ``max_df`` drops terms above a document-
+    frequency ceiling at the FIRST aggregation's output (standard
+    stop-list elision — real indexes shard those terms instead).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"))
+    tf = (toks.where(F.col("term") != "")
+          .groupBy("term", id_col).agg(F.count("*").alias("tf")))
+    posting = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(
+                F.struct(F.col(id_col).alias("d"), F.col("tf").alias("t")))),
+            lambda s: F.concat_ws(":", s["d"].cast("string"),
+                                  s["t"].cast("string"))), ",")
+    out = (tf.groupBy("term")
+           .agg(F.count("*").alias("df"),
+                F.sum("tf").alias("tf_total"),
+                posting.alias("postings"))
+           .where(F.col("df") >= min_df))
+    if max_df is not None:
+        out = out.where(F.col("df") <= max_df)
+    return out.select("term", F.col("df").cast("long").alias("df"),
+                      F.col("tf_total").cast("long").alias("tf_total"),
+                      "postings")
