@@ -51,23 +51,26 @@ def write_tiles(tiles: DataFrame, metrics: DataFrame, path: str,
     """Write the tile table + metrics table + a manifest entry.
 
     Returns the manifest record (the Iceberg-snapshot stand-in). The
-    manifest counts THIS batch (one aggregate over the batch being
-    written, computed pre-write from the same plan); cumulative totals
-    come from summing manifest records — re-scanning the whole sink per
-    batch is a full read of all historical output (reviewed round 1)."""
-    tiles = tiles.cache()
-    try:
-        batch = tiles.agg(
-            F.count("*").alias("n"),
-            F.collect_set("z").alias("zs")).first()
-        (tiles
-         .repartition("z")
-         .sortWithinPartitions("x", "y")
-         .write.mode(mode).partitionBy("z").parquet(os.path.join(path, "tiles")))
-        (metrics
-         .write.mode(mode).partitionBy("z").parquet(os.path.join(path, "_metrics")))
-    finally:
-        tiles.unpersist()
+    manifest counts THIS batch via ``observe()``: the counters are
+    collected by the SAME job that writes the files (zero extra passes,
+    zero caching — previously this cached the batch and ran a separate
+    aggregate), and cumulative totals come from summing manifest
+    records — re-scanning the whole sink per batch is a full read of
+    all historical output (reviewed round 1)."""
+    from pyspark.sql import Observation
+
+    exprs = [F.count(F.lit(1)).alias("n"), F.collect_set("z").alias("zs")]
+    if "tile_bytes" in tiles.columns:
+        exprs.append(F.coalesce(F.sum(F.length("tile_bytes")), F.lit(0))
+                     .alias("n_bytes"))
+    obs = Observation()
+    (tiles.observe(obs, *exprs)
+     .repartition("z")
+     .sortWithinPartitions("x", "y")
+     .write.mode(mode).partitionBy("z").parquet(os.path.join(path, "tiles")))
+    batch = obs.get
+    (metrics
+     .write.mode(mode).partitionBy("z").parquet(os.path.join(path, "_metrics")))
     manifest = os.path.join(path, "manifest.jsonl")
     prev_total = 0
     if os.path.exists(manifest):
@@ -86,6 +89,8 @@ def write_tiles(tiles: DataFrame, metrics: DataFrame, path: str,
         "n_tiles_total": prev_total + int(batch["n"]),
         "zooms": sorted(int(z) for z in batch["zs"]),
     }
+    if "n_bytes" in batch:
+        rec["n_bytes"] = int(batch["n_bytes"])
     with open(manifest, "a") as f:
         f.write(json.dumps(rec) + "\n")
     return rec
@@ -109,3 +114,26 @@ def remaining_work(work_list: DataFrame, spark: SparkSession, path: str,
     if broadcast_done:
         done = F.broadcast(done)
     return work_list.join(done, ["z", "x", "y"], "left_anti")
+
+
+def write_bucketed(df: DataFrame, table: str, keys: list[str],
+                   buckets: int, sort_keys: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Materialize a table bucketed (hash-clustered) on ``keys`` so
+    later joins and aggregations on those keys are CO-LOCATED: both
+    sides of an equi-join over equally-bucketed tables read matching
+    buckets directly and the join plans with ZERO Exchange — the
+    pre-shuffle strategy for dimension/fact joins that repeat across
+    jobs (on Iceberg the same declaration is the ``bucket(N, key)``
+    partition transform; this is its Spark-catalog face, tested
+    shuffle-free in tests/test_bucketed_join.py).
+
+    ``buckets`` should be sized so one bucket of the BIG table fits an
+    executor's scan partition (e.g. 100 TB / 4096 buckets ≈ 24 GB of
+    raw input per bucket, further split by row groups); both tables of
+    a co-located pair must use the same (keys, buckets).
+    """
+    w = df.write.mode(mode).bucketBy(buckets, *keys)
+    if sort_keys:
+        w = w.sortBy(*sort_keys)
+    w.saveAsTable(table)

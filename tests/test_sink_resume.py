@@ -76,3 +76,21 @@ def test_iceberg_probe_and_legacy_manifest_fallback(spark, tmp_path):
         [(0, 0, 0, "l", 1)], "z int, x long, y long, layer string, n_features long")
     rec = sinks.write_tiles(tiles, metrics, str(path))
     assert rec["n_tiles_total"] == 7 + 1
+
+
+def test_manifest_observed_bytes(spark, tmp_path):
+    """write_tiles collects its manifest counters with observe() — by
+    the write job itself — including total output bytes."""
+    from tegola_spark.sources import sinks
+
+    path = tmp_path / "sink"
+    path.mkdir()
+    tiles = spark.createDataFrame(
+        [(0, 0, 0, bytearray(b"abc")), (1, 0, 1, bytearray(b"defgh"))],
+        "z int, x long, y long, tile_bytes binary")
+    metrics = spark.createDataFrame(
+        [(0, 0, 0, "l", 1)], "z int, x long, y long, layer string, n_features long")
+    rec = sinks.write_tiles(tiles, metrics, str(path))
+    assert rec["n_tiles"] == 2
+    assert rec["n_bytes"] == 8
+    assert rec["zooms"] == [0, 1]
