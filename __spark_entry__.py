@@ -1368,6 +1368,32 @@ def q_inverted_index(spark, sf_dir):
     return textstats.inverted_index(docs, min_df=2).orderBy("term")
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Stupid-Backoff bigram LM scoring (Brants et al. 2007): model
+    trained on the even-id half, scoring every document so held-out
+    docs exercise the backoff path; per-token micro-nat quantization
+    makes the doc sums exact int64
+    (operators/textstats.py bigram_lm_score)."""
+    from tegola_spark.operators import textstats
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    return textstats.bigram_lm_score(docs).orderBy("doc_id")
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance selection (Xie et al. 2023): hashed-unigram
+    importance weights of target (lang='en') vs raw distribution,
+    per-bucket micro-nat quantization, deterministic top-k
+    (operators/sampling.py dsir_select)."""
+    from tegola_spark.operators import sampling
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    return sampling.dsir_select(docs, k=100).orderBy(
+        F.col("lw_micro_sum").desc(), F.col("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline at sf0.001 -> per-tile summary rows."""
     from tegola_spark.plans import pipeline
@@ -1461,6 +1487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_verify": q_edit_distance_verify,
         "rolling_window": q_rolling_window,
         "inverted_index": q_inverted_index,
+        "bigram_lm": q_bigram_lm,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -1893,6 +1921,8 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_verify": _EDIT_DISTANCE_VERIFY_SQL,
         "rolling_window": _ROLLING_WINDOW_SQL,
         "inverted_index": _INVERTED_INDEX_SQL,
+        "bigram_lm": _BIGRAM_LM_SQL,
+        "dsir_select": _DSIR_SELECT_SQL,
         # mvt_tiles / mvt_layer_metrics / mvt_tiles_hier /
         # simhash_fingerprints / multimodal_decode: no SQL equivalent
         # (binary tile encode, blake2b hashes, stub decode) ->
@@ -3399,4 +3429,102 @@ _INVERTED_INDEX_SQL = r"""
                  AS postings
         FROM tf GROUP BY term HAVING COUNT(*) >= 2
         ORDER BY term
+"""
+
+
+# Mirrors operators/textstats.py bigram_lm_score: train-half counts,
+# MLE bigram vs Stupid-Backoff (ln 0.4 inlined as the exact double
+# literal), add-1 smoothed unigram, per-token micro-nat floors.
+_BIGRAM_LM_SQL = """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents
+        ), train AS (
+          SELECT * FROM d WHERE doc_id % 2 = 0
+        ), c1 AS (
+          SELECT w, COUNT(*) AS n1
+          FROM (SELECT unnest(t) AS w FROM train) GROUP BY w
+        ), tv AS (
+          SELECT CAST(SUM(n1) + COUNT(*) + 1 AS DOUBLE) AS denom FROM c1
+        ), c2 AS (
+          SELECT w1, w2, COUNT(*) AS n2 FROM (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM train, unnest(range(1, greatest(len(t), 1))) AS u(i)
+          ) GROUP BY w1, w2
+        ), firsts AS (
+          SELECT d.doc_id,
+                 CAST(floor(ln(CAST(COALESCE(c.n1, 0) + 1 AS DOUBLE)
+                               / tv.denom) * 1e6 + 0.5) AS BIGINT) AS lp
+          FROM d LEFT JOIN c1 c ON c.w = d.t[1], tv
+          WHERE len(d.t) > 0
+        ), ab AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM d, unnest(range(1, greatest(len(t), 1))) AS u(i)
+        ), sb AS (
+          SELECT ab.doc_id,
+                 CAST(floor(
+                   CASE WHEN c2.n2 IS NOT NULL
+                        THEN ln(CAST(c2.n2 AS DOUBLE)
+                                / CAST(ctx.n1 AS DOUBLE))
+                        ELSE -0.916290731874155
+                             + ln(CAST(COALESCE(u2.n1, 0) + 1 AS DOUBLE)
+                                  / tv.denom)
+                   END * 1e6 + 0.5) AS BIGINT) AS lp
+          FROM ab
+          LEFT JOIN c2 ON c2.w1 = ab.w1 AND c2.w2 = ab.w2
+          LEFT JOIN c1 ctx ON ctx.w = ab.w1
+          LEFT JOIN c1 u2 ON u2.w = ab.w2, tv
+        ), agg AS (
+          SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp) AS s
+          FROM (SELECT * FROM firsts UNION ALL SELECT * FROM sb)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(a.s, 0) AS BIGINT) AS lp_micro_sum,
+               CASE WHEN COALESCE(a.n_tokens, 0) > 0
+                    THEN ROUND(CAST(a.s AS BIGINT)
+                               / (a.n_tokens * 1e6), 6)
+                    ELSE 0.0 END AS avg_logprob_r6
+        FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        ORDER BY d.doc_id
+"""
+
+# Mirrors operators/sampling.py dsir_select (k=100, 8192 buckets,
+# salt 'dsir-v1', target lang='en'); bucket = (md5_48 % 1e6) % 8192
+# because the hash recipe reuses sample_bucket_col's RESOLUTION mod.
+_DSIR_SELECT_SQL = """
+        WITH toks AS (
+          SELECT doc_id,
+                 (CAST(concat('0x', substr(md5('dsir-v1' || w), 1, 12))
+                       AS BIGINT) % 1000000) % 8192 AS b,
+                 lang = 'en' AS is_tgt
+          FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          WHERE w <> ''
+        ), cr AS (
+          SELECT b, COUNT(*) AS nr FROM toks GROUP BY b
+        ), ct AS (
+          SELECT b, COUNT(*) AS nt FROM toks WHERE is_tgt GROUP BY b
+        ), tb AS (
+          SELECT cr.b, cr.nr, COALESCE(ct.nt, 0) AS nt
+          FROM cr LEFT JOIN ct ON ct.b = cr.b
+        ), tot AS (
+          SELECT SUM(nr) AS nr_tot, SUM(nt) AS nt_tot FROM tb
+        ), lw AS (
+          SELECT b,
+                 CAST(floor((ln(CAST(nt + 1 AS DOUBLE)
+                                / CAST(nt_tot + 8192 AS DOUBLE))
+                           - ln(CAST(nr + 1 AS DOUBLE)
+                                / CAST(nr_tot + 8192 AS DOUBLE)))
+                           * 1e6 + 0.5) AS BIGINT) AS lw_micro
+          FROM tb, tot
+        ), per_doc AS (
+          SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(l.lw_micro) AS s
+          FROM toks t JOIN lw l ON l.b = t.b GROUP BY t.doc_id
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(s AS BIGINT) AS lw_micro_sum
+        FROM per_doc ORDER BY s DESC, doc_id LIMIT 100
 """

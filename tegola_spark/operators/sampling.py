@@ -197,3 +197,64 @@ def exact_k_per_stratum(df, k: int, strata_col: str = "lang",
             .withColumn("sample_rank", F.row_number().over(w).cast("int"))
             .where(F.col("sample_rank") <= k)
             .select(strata_col, id_col, "sample_rank"))
+
+
+def dsir_select(df: DataFrame, k: int, target_col: Column | None = None,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 8192, salt: str = "dsir-v1") -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023):
+    rank raw documents by how target-like they are under hashed n-gram
+    importance weights, and keep the top ``k``.
+
+    ``target_col`` is the boolean target-membership predicate (default:
+    ``lang == 'en'``).  Features are hashed unigrams — each token maps
+    to one of ``n_buckets`` buckets via the repo's portable salted-md5
+    hash — and a document's log importance weight is
+
+        Σ_tokens [ ln((ct[b]+1)/(Nt+B)) - ln((cr[b]+1)/(Nr+B)) ]
+
+    (add-1-smoothed bucket LMs of the target resp. raw distribution),
+    quantized to integer micro-nats PER BUCKET, so the per-doc sum is
+    exact int64 and selection order is engine-independent.  Selection
+    is deterministic top-k by (weight, id) — the systematic variant of
+    DSIR's Gumbel resampling (zero RNG, reproducible).
+
+    100 TB posture: both bucket tables are ≤``n_buckets`` rows no
+    matter the corpus (map-side partial agg collapses each task to
+    ≤n_buckets rows), broadcast back to the token stream; the per-doc
+    reduce is a partial-agg groupBy; top-k is TakeOrdered (per-partition
+    k then driver merge of k-sized lists), never a global sort.
+    """
+    if target_col is None:
+        target_col = F.col("lang") == "en"
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      target_col.alias("_is_tgt"),
+                      F.explode(F.split(F.col(text_col), " ")).alias("w"))
+            .where(F.col("w") != ""))
+    b = (sample_bucket_col(F.col("w"), salt=salt) % n_buckets).alias("b")
+    toks = toks.select("doc_id", "_is_tgt", b)
+
+    cr = toks.groupBy("b").agg(F.count("*").alias("nr"))
+    ct = toks.where("_is_tgt").groupBy("b").agg(F.count("*").alias("nt"))
+    table = (cr.join(ct, "b", "left")
+             .select("b", "nr", F.coalesce("nt", F.lit(0)).alias("nt")))
+    tot = table.agg(F.sum("nr").alias("_nr_tot"),
+                    F.sum("nt").alias("_nt_tot"))
+    lw = (table.crossJoin(F.broadcast(tot))
+          .select(
+              "b",
+              F.floor(
+                  (F.log((F.col("nt") + F.lit(1)).cast("double")
+                         / (F.col("_nt_tot") + F.lit(n_buckets))
+                         .cast("double"))
+                   - F.log((F.col("nr") + F.lit(1)).cast("double")
+                           / (F.col("_nr_tot") + F.lit(n_buckets))
+                           .cast("double"))) * 1e6 + 0.5)
+              .cast("long").alias("lw_micro")))
+    per_doc = (toks.join(F.broadcast(lw), "b")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_tokens"),
+                    F.sum("lw_micro").alias("lw_micro_sum")))
+    return (per_doc
+            .orderBy(F.col("lw_micro_sum").desc(), F.col("doc_id"))
+            .limit(k))

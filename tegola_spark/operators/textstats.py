@@ -408,3 +408,100 @@ def inverted_index(df: DataFrame, text_col: str = "text",
     return out.select("term", F.col("df").cast("long").alias("df"),
                       F.col("tf_total").cast("long").alias("tf_total"),
                       "postings")
+
+
+# ln(0.4) as an exact double literal, inlined identically in the oracle
+# SQL so the backoff penalty is bit-equal across engines by construction.
+STUPID_BACKOFF_LN = -0.916290731874155
+
+
+def bigram_lm_score(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Bigram LM quality scoring with Stupid Backoff (Brants et al.
+    2007) — the n-gram upgrade of :func:`unigram_lm_score`.  The model
+    trains on the even-id half of the corpus and scores EVERY document,
+    so held-out documents genuinely exercise the backoff path (a
+    self-trained bigram model never sees an unknown bigram).
+
+    Per-token score, quantized to integer micro-nats (floor(x*1e6+0.5))
+    BEFORE the document sum, exactly like the unigram operator:
+
+      first token w1:            ln((c(w1)+1) / (T+V+1))      (add-1)
+      bigram (w1,w2) seen:       ln(c(w1 w2) / c(w1))          (MLE)
+      bigram unseen (backoff):   ln(0.4) + ln((c(w2)+1)/(T+V+1))
+
+    where c() are TRAIN-half counts, T = train token count, V = train
+    vocab size (the +1s give out-of-vocabulary words nonzero mass).
+
+    100 TB posture: the unigram table is vocab-sized and broadcasts;
+    the bigram count table scales with distinct bigrams, so its join
+    is a shuffled equi-join on (w1, w2) — the same plan family as the
+    shingle joins — with map-side partial agg on both count builds.
+    Bigram extraction is map-only array algebra (no window, no lag
+    exchange): ``transform`` over a slice of the token array.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    train = base.where(F.col("doc_id") % 2 == 0)
+
+    words_tr = train.select(F.explode("t").alias("w"))
+    c1 = words_tr.groupBy("w").agg(F.count("*").alias("n1"))
+    tv = c1.agg(F.sum("n1").alias("_t"), F.count("*").alias("_v"))
+    denom = (F.col("_t") + F.col("_v") + F.lit(1)).cast("double")
+
+    bigrams = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+        " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))")
+    big_tr = train.select(F.explode(bigrams).alias("b")) \
+        .select("b.w1", "b.w2")
+    c2 = big_tr.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+
+    def uni_lp(count_col):
+        return F.log((F.coalesce(count_col, F.lit(0)) + F.lit(1))
+                     .cast("double") / denom)
+
+    # first token of every doc: smoothed unigram
+    firsts = (base.where(F.size("t") > 0)
+              .select("doc_id", F.element_at("t", 1).alias("w"))
+              .join(F.broadcast(c1), "w", "left")
+              .crossJoin(F.broadcast(tv))
+              .select("doc_id",
+                      F.floor(uni_lp(F.col("n1")) * 1e6 + 0.5)
+                      .cast("long").alias("lp")))
+
+    # bigram tokens of every doc: MLE when seen in train, else backoff
+    big_all = base.select("doc_id", F.explode(bigrams).alias("b")) \
+        .select("doc_id", "b.w1", "b.w2")
+    ctx = c1.select(F.col("w").alias("w1"), F.col("n1").alias("n1_ctx"))
+    uni2 = c1.select(F.col("w").alias("w2"), F.col("n1").alias("n1_w2"))
+    scored = (big_all
+              .join(c2, ["w1", "w2"], "left")
+              .join(F.broadcast(ctx), "w1", "left")
+              .join(F.broadcast(uni2), "w2", "left")
+              .crossJoin(F.broadcast(tv))
+              .select(
+                  "doc_id",
+                  F.floor(
+                      F.when(F.col("n2").isNotNull(),
+                             F.log(F.col("n2").cast("double")
+                                   / F.col("n1_ctx").cast("double")))
+                      .otherwise(F.lit(STUPID_BACKOFF_LN)
+                                 + uni_lp(F.col("n1_w2")))
+                      * 1e6 + 0.5).cast("long").alias("lp")))
+
+    per_doc = (firsts.unionByName(scored)
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_tokens"),
+                    F.sum("lp").alias("lp_micro_sum")))
+    spine = df.select(F.col(id_col).alias("doc_id"))
+    out = spine.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("lp_micro_sum", F.lit(0)).cast("long")
+        .alias("lp_micro_sum"))
+    return out.withColumn(
+        "avg_logprob_r6",
+        F.when(F.col("n_tokens") > 0,
+               F.round(F.col("lp_micro_sum")
+                       / (F.col("n_tokens") * F.lit(1e6)), 6))
+         .otherwise(F.lit(0.0)))
