@@ -1299,6 +1299,19 @@ def q_domain_pagerank(spark, sf_dir):
     return graph.domain_pagerank(spark, docs, iters=5).orderBy("domain")
 
 
+def q_domain_trustrank(spark, sf_dir):
+    """TrustRank (Gyöngyi et al. 2004): personalized PageRank whose
+    teleport + dangling mass land only on trusted seed domains
+    (deterministic majority-English rule), so trust decays with link
+    distance — the web-spam demotion operator. Same integer micro-unit
+    recurrence as domain_pagerank (operators/graph.py)."""
+    from tegola_spark.operators import graph
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    return graph.domain_trustrank(spark, docs, iters=5).orderBy("domain")
+
+
 def q_latest_snapshot(spark, sf_dir):
     """CDX-style crawl-snapshot collapse: keep the latest capture per
     URL via one max_by aggregation (map-side partial, no window). The
@@ -1483,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "quality_cut": q_quality_cut,
         "domain_pagerank": q_domain_pagerank,
+        "domain_trustrank": q_domain_trustrank,
         "latest_snapshot": q_latest_snapshot,
         "edit_distance_verify": q_edit_distance_verify,
         "rolling_window": q_rolling_window,
@@ -1917,6 +1931,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "quality_cut": _QUALITY_CUT_SQL,
         "domain_pagerank": _pagerank_oracle(5),
+        "domain_trustrank": _trustrank_oracle(5),
         "latest_snapshot": _LATEST_SNAPSHOT_SQL,
         "edit_distance_verify": _EDIT_DISTANCE_VERIFY_SQL,
         "rolling_window": _ROLLING_WINDOW_SQL,
@@ -3528,3 +3543,67 @@ _DSIR_SELECT_SQL = """
                CAST(s AS BIGINT) AS lw_micro_sum
         FROM per_doc ORDER BY s DESC, doc_id LIMIT 100
 """
+
+
+def _trustrank_oracle(iters: int = 5) -> str:
+    """Seeded (personalized) variant of _pagerank_oracle mirroring
+    operators/graph.py pagerank(seeds=...): teleport + dangling mass
+    land only on the majority-English seed domains."""
+    per_seed = ("(15 * (SELECT c FROM nn) * 1000000 // 100)"
+                " // (SELECT c FROM ns)")
+    sql = ["""
+        WITH docs AS (
+          SELECT doc_id, source || '.example.com' AS domain FROM documents
+        ), nd AS (SELECT COUNT(*) AS c FROM documents),
+        links AS (
+          SELECT domain AS src,
+                 CAST(concat('0x', substr(md5('links-v1' ||
+                      CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                   % (SELECT c FROM nd) AS tgt_id
+          FROM docs
+        ), raw AS (
+          SELECT l.src, t.domain AS dst
+          FROM links l JOIN docs t ON t.doc_id = l.tgt_id
+        ), edges AS (
+          SELECT src, dst, COUNT(*) AS w FROM raw
+          WHERE src <> dst GROUP BY 1, 2
+        ), nodes AS (SELECT DISTINCT domain FROM docs),
+        nn AS (SELECT COUNT(*) AS c FROM nodes),
+        outdeg AS (SELECT src AS domain, SUM(w) AS od FROM edges GROUP BY 1),
+        seeds AS (
+          SELECT source || '.example.com' AS domain
+          FROM documents GROUP BY source
+          HAVING 2 * SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) > COUNT(*)
+        ), ns AS (SELECT COUNT(*) AS c FROM seeds),
+        pr0 AS (SELECT domain, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""]
+    for k in range(1, iters + 1):
+        sql.append(f""",
+        contrib{k} AS (
+          SELECT e.dst AS domain, SUM(e.w * (p.pr // o.od)) AS inflow
+          FROM edges e
+          JOIN pr{k - 1} p ON p.domain = e.src
+          JOIN outdeg o ON o.domain = e.src
+          GROUP BY 1
+        ), dang{k} AS (
+          SELECT COALESCE(SUM(p.pr), 0) AS dm
+          FROM pr{k - 1} p LEFT JOIN outdeg o ON o.domain = p.domain
+          WHERE o.od IS NULL
+        ), pr{k} AS (
+          SELECT n.domain,
+                 CAST(CASE WHEN s.domain IS NOT NULL THEN {per_seed}
+                           ELSE 0 END
+                      + (85 * (COALESCE(c.inflow, 0)
+                         + CASE WHEN s.domain IS NOT NULL
+                                THEN (SELECT dm FROM dang{k})
+                                     // (SELECT c FROM ns)
+                                ELSE 0 END)) // 100 AS BIGINT) AS pr
+          FROM nodes n
+          LEFT JOIN seeds s ON s.domain = n.domain
+          LEFT JOIN contrib{k} c ON c.domain = n.domain
+        )""")
+    sql.append(f"""
+        SELECT p.domain, p.pr AS tr_micro,
+               s.domain IS NOT NULL AS is_seed
+        FROM pr{iters} p LEFT JOIN seeds s ON s.domain = p.domain
+        ORDER BY p.domain""")
+    return "".join(sql)

@@ -84,28 +84,56 @@ def link_graph(docs: DataFrame, n_docs: int) -> DataFrame:
             .groupBy("src", "dst").agg(F.count("*").alias("w")))
 
 
-def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5) -> DataFrame:
-    """Integer-exact PageRank.
+def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
+             seeds: DataFrame | None = None) -> DataFrame:
+    """Integer-exact PageRank, optionally personalized (TrustRank).
 
     ``nodes``: one row per node, column ``domain``.  ``edges``:
     ``(src, dst, w)`` weighted directed edges (w = parallel-edge
     count).  Returns ``(domain, pr_micro)`` after ``iters`` sweeps of
 
-        pr'(v) = (15 * SCALE) div 100
-                 + (85 * (inflow(v) + dangling_mass div N)) div 100
+        pr'(v) = base(v)
+                 + (85 * (inflow(v) + dangling_share(v))) div 100
         inflow(v) = Σ_{(u,v,w)} w * (pr(u) div outdeg(u))
 
-    where outdeg(u) = Σ w over u's out-edges and dangling_mass is the
-    summed rank of nodes with no out-edges.  Every operation is int64;
-    see module docstring for why this is the replayable formulation.
+    where outdeg(u) = Σ w over u's out-edges and the dangling mass is
+    the summed rank of nodes with no out-edges.
+
+    With ``seeds=None`` (classic PageRank) the teleport is uniform:
+    base(v) = (15 * SCALE) div 100 for every node, dangling mass
+    shared by all N nodes.  With a ``seeds`` frame (column ``domain``)
+    this is TrustRank (Gyöngyi et al. 2004) — the biased teleport that
+    propagates trust/spam labels along links: all teleport AND
+    dangling mass land on the seed set only,
+    base(seed) = ((15 * N * SCALE) div 100) div |S|, base 0 elsewhere.
+
+    Every operation is int64; see module docstring for why this is
+    the replayable formulation.
     """
     outdeg = edges.groupBy(F.col("src").alias("domain")) \
                   .agg(F.sum("w").alias("od"))
     n_nodes = nodes.count()
-    base = (DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN
+    if seeds is None:
+        marked = nodes.select("domain", F.lit(True).alias("_is_seed"))
+        base_expr = F.lit((DAMP_DEN - DAMP_NUM) * SCALE // DAMP_DEN)
+        n_tel = n_nodes
+    else:
+        seed_set = seeds.select("domain").distinct()
+        n_tel = seed_set.count()
+        if n_tel == 0:
+            raise ValueError("TrustRank needs a non-empty seed set")
+        marked = (nodes.join(seed_set.withColumn("_is_seed", F.lit(True)),
+                             "domain", "left")
+                  .select("domain", F.coalesce("_is_seed", F.lit(False))
+                          .alias("_is_seed")))
+        per_seed = ((DAMP_DEN - DAMP_NUM) * n_nodes * SCALE
+                    // DAMP_DEN) // n_tel
+        base_expr = F.when(F.col("_is_seed"), F.lit(per_seed)) \
+                     .otherwise(F.lit(0))
+    marked = marked.localCheckpoint()
 
-    pr = nodes.select("domain", F.lit(SCALE).cast("long").alias("pr")) \
-              .localCheckpoint()
+    pr = marked.select("domain", F.lit(SCALE).cast("long").alias("pr")) \
+               .localCheckpoint()
     for _ in range(iters):
         contrib = (edges
                    .join(pr.withColumnRenamed("domain", "src"), "src")
@@ -119,13 +147,14 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5) -> DataFrame:
         dang = (pr.join(outdeg, "domain", "left_anti")
                   .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("dm"))
                   .collect()[0]["dm"])
-        share = dang // n_nodes
-        pr = (nodes.join(contrib, "domain", "left")
+        share = dang // n_tel
+        pr = (marked.join(contrib, "domain", "left")
               .select(
                   "domain",
-                  (F.lit(base)
-                   + F.expr(f"({DAMP_NUM} * (coalesce(inflow, 0) + {share}))"
-                            f" div {DAMP_DEN}")).cast("long").alias("pr"))
+                  (base_expr
+                   + F.expr(f"({DAMP_NUM} * (coalesce(inflow, 0) + "
+                            f"if(_is_seed, {share}, 0))) div {DAMP_DEN}"))
+                  .cast("long").alias("pr"))
               .localCheckpoint())
     return pr.select("domain", F.col("pr").alias("pr_micro"))
 
@@ -149,3 +178,37 @@ def domain_pagerank(spark: SparkSession, docs: DataFrame,
             .select("domain", "pr_micro",
                     F.coalesce(F.col("out_weight"), F.lit(0))
                     .cast("long").alias("out_weight")))
+
+
+def majority_en_seeds(docs: DataFrame) -> DataFrame:
+    """Deterministic trust-seed rule for the corpus: domains whose
+    documents are majority English (the 'trusted content' proxy; any
+    replayable predicate works — real deployments use a labeled seed
+    list).  One aggregation over (source)."""
+    return (docs.groupBy("source")
+            .agg(F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                 .alias("_en"),
+                 F.count("*").alias("_n"))
+            .where(F.lit(2) * F.col("_en") > F.col("_n"))
+            .select(F.concat(F.col("source"), F.lit(".example.com"))
+                    .alias("domain")))
+
+
+def domain_trustrank(spark: SparkSession, docs: DataFrame,
+                     n_docs: int | None = None, iters: int = 5) -> DataFrame:
+    """TrustRank over the corpus link graph: personalized PageRank
+    whose teleport (and dangling mass) lands only on the trusted seed
+    domains, so trust decays with link distance from the seed set —
+    the web-spam demotion / quality propagation operator (Gyöngyi et
+    al. 2004).  Output ``(domain, tr_micro, is_seed)``."""
+    if n_docs is None:
+        n_docs = docs.count()
+    edges = link_graph(docs, n_docs).localCheckpoint()
+    nodes = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("domain")) \
+        .distinct()
+    seeds = majority_en_seeds(docs)
+    ranks = pagerank(nodes, edges, iters=iters, seeds=seeds)
+    return (ranks.join(seeds.withColumn("_s", F.lit(True)), "domain", "left")
+            .select("domain", F.col("pr_micro").alias("tr_micro"),
+                    F.coalesce("_s", F.lit(False)).alias("is_seed")))

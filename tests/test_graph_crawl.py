@@ -134,3 +134,54 @@ def test_corpus_text_is_ascii(sf):
         f"SELECT COUNT(*) FROM '/root/testdata/{sf}/documents.parquet' "
         r"WHERE regexp_matches(text, '[^\x00-\x7f]')").fetchone()[0]
     assert n == 0
+
+
+def _ref_trustrank(nodes, edges, seeds, iters):
+    outdeg = {}
+    for s, _, w in edges:
+        outdeg[s] = outdeg.get(s, 0) + w
+    n, ns = len(nodes), len(seeds)
+    per_seed = ((100 - 85) * n * graph.SCALE // 100) // ns
+    pr = {v: graph.SCALE for v in nodes}
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for s, d, w in edges:
+            inflow[d] += w * (pr[s] // outdeg[s])
+        dang = sum(pr[v] for v in nodes if v not in outdeg)
+        share = dang // ns
+        pr = {v: (per_seed if v in seeds else 0)
+              + (85 * (inflow[v] + (share if v in seeds else 0))) // 100
+              for v in nodes}
+    return pr
+
+
+def test_trustrank_matches_integer_reference(spark):
+    seeds = {"A", "E"}
+    nodes = spark.createDataFrame([(v,) for v in _NODES], "domain string")
+    edges = spark.createDataFrame(_EDGES, "src string, dst string, w long")
+    sdf = spark.createDataFrame([(v,) for v in sorted(seeds)], "domain string")
+    got = {r["domain"]: r["pr_micro"]
+           for r in graph.pagerank(nodes, edges, iters=5, seeds=sdf).collect()}
+    assert got == _ref_trustrank(_NODES, _EDGES, seeds, 5)
+
+
+def test_trustrank_trust_decays_from_seeds(spark):
+    # chain a -> b -> c -> d, seed = {a}: trust must strictly decay
+    nodes = spark.createDataFrame([(v,) for v in "abcd"], "domain string")
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)],
+        "src string, dst string, w long")
+    sdf = spark.createDataFrame([("a",)], "domain string")
+    got = {r["domain"]: r["pr_micro"]
+           for r in graph.pagerank(nodes, edges, iters=8, seeds=sdf).collect()}
+    assert got["a"] > got["b"] > got["c"] > got["d"]
+
+
+def test_trustrank_rejects_empty_seed_set(spark):
+    import pytest as _pytest
+
+    nodes = spark.createDataFrame([("a",)], "domain string")
+    edges = spark.createDataFrame([], "src string, dst string, w long")
+    empty = spark.createDataFrame([], "domain string")
+    with _pytest.raises(ValueError):
+        graph.pagerank(nodes, edges, seeds=empty)
