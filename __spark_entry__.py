@@ -1407,6 +1407,18 @@ def q_dsir_select(spark, sf_dir):
         F.col("lw_micro_sum").desc(), F.col("doc_id"))
 
 
+def q_domain_quota(spark, sf_dir):
+    """Exact proportional sampling-budget allocation across domains
+    (largest-remainder / Hamilton apportionment): integer base + the
+    leftover distributed to the largest remainders, so quotas sum to
+    the budget EXACTLY (operators/sampling.py proportional_quota)."""
+    from tegola_spark.operators import sampling
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    return sampling.proportional_quota(docs, total=1000).orderBy("source")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full pipeline at sf0.001 -> per-tile summary rows."""
     from tegola_spark.plans import pipeline
@@ -1503,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "bigram_lm": q_bigram_lm,
         "dsir_select": q_dsir_select,
+        "domain_quota": q_domain_quota,
     }
 
 
@@ -1938,6 +1951,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": _INVERTED_INDEX_SQL,
         "bigram_lm": _BIGRAM_LM_SQL,
         "dsir_select": _DSIR_SELECT_SQL,
+        "domain_quota": _DOMAIN_QUOTA_SQL,
         # mvt_tiles / mvt_layer_metrics / mvt_tiles_hier /
         # simhash_fingerprints / multimodal_decode: no SQL equivalent
         # (binary tile encode, blake2b hashes, stub decode) ->
@@ -3607,3 +3621,24 @@ def _trustrank_oracle(iters: int = 5) -> str:
         FROM pr{iters} p LEFT JOIN seeds s ON s.domain = p.domain
         ORDER BY p.domain""")
     return "".join(sql)
+
+
+_DOMAIN_QUOTA_SQL = """
+        WITH c AS (
+          SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ), t AS (SELECT SUM(n_docs) AS N FROM c),
+        b AS (
+          SELECT source, n_docs,
+                 (1000 * n_docs) // (SELECT N FROM t) AS base,
+                 (1000 * n_docs) % (SELECT N FROM t) AS rem
+          FROM c
+        ), r AS (SELECT 1000 - SUM(base) AS R FROM b),
+        rk AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk
+          FROM b
+        )
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(base + CASE WHEN rnk <= (SELECT R FROM r)
+                                THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM rk ORDER BY source
+"""

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 RESOLUTION = 1_000_000
@@ -258,3 +258,40 @@ def dsir_select(df: DataFrame, k: int, target_col: Column | None = None,
     return (per_doc
             .orderBy(F.col("lw_micro_sum").desc(), F.col("doc_id"))
             .limit(k))
+
+
+def proportional_quota(df: DataFrame, total: int,
+                       key_col: str = "source") -> DataFrame:
+    """Exact proportional budget allocation across groups — the
+    domain-balanced subsampling quota: split ``total`` sampling slots
+    across domains proportionally to their document counts so that the
+    quotas SUM EXACTLY to ``total`` (largest-remainder / Hamilton
+    apportionment, all integer arithmetic).
+
+        base_g = total * n_g div N,  rem_g = total * n_g mod N
+        leftover R = total - Σ base_g  (0 <= R < #groups)
+        quota_g = base_g + 1 for the R largest remainders
+                  (ties broken by key), else base_g
+
+    The per-group table this ranks is GROUP-sized (domains), not
+    corpus-sized; the global remainder rank uses one window — at 10^7+
+    hosts swap it for stats.global_quantile's range-repartitioned rank
+    machinery (same contract, no single-partition sort).  Downstream,
+    ``exact_k_sample`` consumes the quotas as per-stratum k's.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("_N"),
+                     F.coalesce(F.sum(F.lit(1)), F.lit(0)).alias("_g"))
+    c = (counts.crossJoin(F.broadcast(tot))
+         .select(key_col, "n_docs",
+                 F.expr(f"({total} * n_docs) div _N").alias("_base"),
+                 F.expr(f"({total} * n_docs) % _N").alias("_rem")))
+    leftover = c.crossJoin(
+        F.broadcast(c.agg((F.lit(total) - F.sum("_base")).alias("_R"))))
+    w = Window.orderBy(F.col("_rem").desc(), F.col(key_col))
+    return (leftover
+            .withColumn("_rank", F.row_number().over(w))
+            .select(key_col, "n_docs",
+                    (F.col("_base")
+                     + F.when(F.col("_rank") <= F.col("_R"), 1).otherwise(0))
+                    .cast("long").alias("quota")))

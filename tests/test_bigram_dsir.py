@@ -85,3 +85,32 @@ def test_dsir_topk_is_deterministic_tiebreak(spark):
         "doc_id long, text string, lang string")
     picked = [r["doc_id"] for r in sampling.dsir_select(df, k=3).collect()]
     assert picked == [0, 1, 2]  # equal weights -> lowest ids win
+
+
+def test_proportional_quota_sums_exactly(spark):
+    # skewed counts that do NOT divide the budget evenly
+    rows = [(i, f"s{g}") for g, n in enumerate([7, 13, 1, 29, 50])
+            for i in range(n * 100, n * 100 + n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: (r["n_docs"], r["quota"])
+           for r in sampling.proportional_quota(df, total=17).collect()}
+    assert sum(q for _, q in got.values()) == 17
+    # Hamilton reference
+    n = {f"s{g}": c for g, c in enumerate([7, 13, 1, 29, 50])}
+    N = sum(n.values())
+    base = {k: 17 * v // N for k, v in n.items()}
+    rem = {k: 17 * v % N for k, v in n.items()}
+    R = 17 - sum(base.values())
+    order = sorted(n, key=lambda k: (-rem[k], k))
+    want = {k: base[k] + (1 if k in order[:R] else 0) for k in n}
+    assert {k: q for k, (_, q) in got.items()} == want
+    # proportionality: biggest group gets the biggest quota
+    assert max(got, key=lambda k: got[k][1]) == "s4"
+
+
+def test_proportional_quota_uniform_groups(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}") for i in range(40)], "doc_id long, source string")
+    got = {r["source"]: r["quota"]
+           for r in sampling.proportional_quota(df, total=100).collect()}
+    assert got == {f"s{g}": 25 for g in range(4)}
