@@ -132,6 +132,13 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
                      .otherwise(F.lit(0))
     marked = marked.localCheckpoint()
 
+    # the dangling SET is static (nodes minus edge sources): detect it
+    # once so dangling-free graphs skip the per-sweep mass scalar
+    # entirely (one fewer action per iteration)
+    dang_nodes = marked.select("domain") \
+                       .join(outdeg, "domain", "left_anti").localCheckpoint()
+    has_dangling = dang_nodes.limit(1).count() > 0
+
     pr = marked.select("domain", F.lit(SCALE).cast("long").alias("pr")) \
                .localCheckpoint()
     for _ in range(iters):
@@ -143,10 +150,14 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
                            (F.col("w") * F.expr("pr div src_od"))
                            .alias("c"))
                    .groupBy("domain").agg(F.sum("c").alias("inflow")))
-        # dangling mass: one aggregated scalar per sweep (O(1) driver rows)
-        dang = (pr.join(outdeg, "domain", "left_anti")
-                  .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("dm"))
-                  .collect()[0]["dm"])
+        # dangling mass: one aggregated scalar per sweep (O(1) driver
+        # rows), skipped when the static dangling set is empty
+        if has_dangling:
+            dang = (pr.join(dang_nodes, "domain", "left_semi")
+                      .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("dm"))
+                      .collect()[0]["dm"])
+        else:
+            dang = 0
         share = dang // n_tel
         pr = (marked.join(contrib, "domain", "left")
               .select(
