@@ -1302,7 +1302,7 @@ def q_domain_pagerank(spark, sf_dir):
 def q_domain_trustrank(spark, sf_dir):
     """TrustRank (Gyöngyi et al. 2004): personalized PageRank whose
     teleport + dangling mass land only on trusted seed domains
-    (deterministic majority-English rule), so trust decays with link
+    (deterministic top-4-most-English rule), so trust decays with link
     distance — the web-spam demotion operator. Same integer micro-unit
     recurrence as domain_pagerank (operators/graph.py)."""
     from tegola_spark.operators import graph
@@ -3585,9 +3585,13 @@ def _trustrank_oracle(iters: int = 5) -> str:
         nn AS (SELECT COUNT(*) AS c FROM nodes),
         outdeg AS (SELECT src AS domain, SUM(w) AS od FROM edges GROUP BY 1),
         seeds AS (
-          SELECT source || '.example.com' AS domain
-          FROM documents GROUP BY source
-          HAVING 2 * SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) > COUNT(*)
+          SELECT source || '.example.com' AS domain FROM (
+            SELECT source,
+                   ROW_NUMBER() OVER (
+                     ORDER BY SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       DESC, source) AS rnk
+            FROM documents GROUP BY source
+          ) WHERE rnk <= 4
         ), ns AS (SELECT COUNT(*) AS c FROM seeds),
         pr0 AS (SELECT domain, CAST(1000000 AS BIGINT) AS pr FROM nodes)"""]
     for k in range(1, iters + 1):

@@ -191,16 +191,23 @@ def domain_pagerank(spark: SparkSession, docs: DataFrame,
                     .cast("long").alias("out_weight")))
 
 
-def majority_en_seeds(docs: DataFrame) -> DataFrame:
-    """Deterministic trust-seed rule for the corpus: domains whose
-    documents are majority English (the 'trusted content' proxy; any
-    replayable predicate works — real deployments use a labeled seed
-    list).  One aggregation over (source)."""
-    return (docs.groupBy("source")
-            .agg(F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-                 .alias("_en"),
-                 F.count("*").alias("_n"))
-            .where(F.lit(2) * F.col("_en") > F.col("_n"))
+def top_en_seeds(docs: DataFrame, k: int = 4) -> DataFrame:
+    """Deterministic trust-seed rule for the corpus: the ``k`` domains
+    with the most English documents (ties broken by name) — always
+    non-empty at any corpus scale, unlike a majority-share cutoff
+    (which selects nothing once per-domain language mixes regress to
+    the corpus mean).  Any replayable predicate works — real
+    deployments use a labeled seed list.  The ranked table is
+    domain-sized, so the single window is fine (same caveat + swap
+    point as sampling.proportional_quota)."""
+    from pyspark.sql import Window
+
+    en = (docs.groupBy("source")
+          .agg(F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+               .alias("_en")))
+    w = Window.orderBy(F.col("_en").desc(), F.col("source"))
+    return (en.withColumn("_rnk", F.row_number().over(w))
+            .where(F.col("_rnk") <= k)
             .select(F.concat(F.col("source"), F.lit(".example.com"))
                     .alias("domain")))
 
@@ -218,7 +225,7 @@ def domain_trustrank(spark: SparkSession, docs: DataFrame,
     nodes = docs.select(
         F.concat(F.col("source"), F.lit(".example.com")).alias("domain")) \
         .distinct()
-    seeds = majority_en_seeds(docs)
+    seeds = top_en_seeds(docs)
     ranks = pagerank(nodes, edges, iters=iters, seeds=seeds)
     return (ranks.join(seeds.withColumn("_s", F.lit(True)), "domain", "left")
             .select("domain", F.col("pr_micro").alias("tr_micro"),

@@ -185,3 +185,14 @@ def test_trustrank_rejects_empty_seed_set(spark):
     empty = spark.createDataFrame([], "domain string")
     with _pytest.raises(ValueError):
         graph.pagerank(nodes, edges, seeds=empty)
+
+
+@pytest.mark.parametrize("sf_path", ["/root/testdata/sf0.001",
+                                     "/root/testdata/sf0.01"])
+def test_top_en_seeds_nonempty_and_bounded(spark, sf_path):
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_path)
+    seeds = graph.top_en_seeds(docs, k=4).collect()
+    assert 1 <= len(seeds) <= 4
+    assert all(r["domain"].endswith(".example.com") for r in seeds)
