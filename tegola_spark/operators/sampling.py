@@ -279,9 +279,9 @@ def proportional_quota(df: DataFrame, total: int,
     machinery (same contract, no single-partition sort).  Downstream,
     ``exact_k_sample`` consumes the quotas as per-stratum k's.
     """
+    total = int(total)
     counts = df.groupBy(key_col).agg(F.count("*").alias("n_docs"))
-    tot = counts.agg(F.sum("n_docs").alias("_N"),
-                     F.coalesce(F.sum(F.lit(1)), F.lit(0)).alias("_g"))
+    tot = counts.agg(F.sum("n_docs").alias("_N"))
     c = (counts.crossJoin(F.broadcast(tot))
          .select(key_col, "n_docs",
                  F.expr(f"({total} * n_docs) div _N").alias("_base"),
