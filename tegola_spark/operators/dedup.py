@@ -436,3 +436,29 @@ def edit_distance_verify(df: DataFrame, pairs: DataFrame,
     return out.withColumn(
         "is_editdup",
         (F.lit(5) * F.col("edit_dist") <= F.lit(2) * F.col("max_len")))
+
+
+def incremental_dedup(new_docs: DataFrame, store: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """Ingest-time dedup of a NEW batch against the historical
+    fingerprint store: returns ``(fresh_docs, new_fingerprints)`` —
+    batch rows whose md5(text) appears neither in the store nor
+    earlier in the batch (first-arrival by id), plus the fingerprint
+    rows to append to the store.
+
+    The scale contract is the join's asymmetry: the store is the
+    100 TB side and must NEVER re-shuffle per batch.  Persist it
+    bucketed on ``text_hash`` (sources/sinks.py write_bucketed) and
+    the left-anti join reads matching buckets in place — only the new
+    batch crosses the wire (one Exchange, batch-sized), pinned by
+    tests/test_bucketed_join.py::test_incremental_dedup_shuffles_batch_only.
+    """
+    keyed = new_docs.withColumn(
+        "text_hash", F.md5(F.col(text_col).cast("binary")))
+    # first-arrival-wins inside the batch (same rule as exact_dedup)
+    w_min = keyed.groupBy("text_hash").agg(F.min(id_col).alias(id_col))
+    batch_unique = keyed.join(w_min, ["text_hash", id_col])
+    fresh = batch_unique.join(store.select("text_hash"),
+                              "text_hash", "left_anti")
+    return fresh, fresh.select("text_hash", id_col)

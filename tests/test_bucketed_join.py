@@ -61,3 +61,45 @@ def test_bucketed_join_results_match_plain_join(spark, sf_dir, bucketed_pair):
     docs = corpus.documents(spark, sf_dir)
     want = sorted(docs.select("doc_id", "lang", "source").collect())
     assert got == want
+
+
+def test_incremental_dedup_shuffles_batch_only(spark, sf_dir):
+    """Ingest-time dedup against a text_hash-bucketed fingerprint
+    store: the store side joins WITHOUT an Exchange (the new batch is
+    the only side that moves)."""
+    from tegola_spark.operators import dedup as ddp
+
+    docs = corpus.documents(spark, sf_dir)
+    store_fp = docs.limit(200).select(
+        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+        "doc_id")
+    sinks.write_bucketed(store_fp, "t_fp_store", ["text_hash"], 8)
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at real scale the store is the 100 TB side and can never
+        # broadcast; disable the toy-size broadcast so the test sees
+        # the scale plan (sort-merge against the store's buckets)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        store = spark.table("t_fp_store")
+        batch = docs.where(F.col("doc_id") >= 100)  # overlaps the store
+        fresh, new_fp = ddp.incremental_dedup(batch, store)
+        fresh.collect()  # finalize AQE before reading the plan
+        plan = _executed_plan(fresh)
+        # the store scan serves its buckets in place — bucketed read
+        # honored, so the store side carries NO Exchange; the batch
+        # side does move (hash to the store's 8 buckets)
+        assert "Bucketed: true" in plan, plan
+        assert "SelectedBucketsCount" in plan, plan
+        assert "Exchange" in plan  # the batch side
+
+        got = {r["doc_id"] for r in fresh.select("doc_id").collect()}
+        stored = {r["doc_id"] for r in store_fp.collect()}
+        # no fresh doc's hash may be in the store
+        fresh_hashes = {r["text_hash"] for r in new_fp.collect()}
+        store_hashes = {r["text_hash"] for r in store.collect()}
+        assert not (fresh_hashes & store_hashes)
+        assert got  # something genuinely new got through
+        assert not (got & stored & set(range(100)))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP TABLE IF EXISTS t_fp_store")
