@@ -1407,6 +1407,19 @@ def q_dsir_select(spark, sf_dir):
         F.col("lw_micro_sum").desc(), F.col("doc_id"))
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top-20 bigram collocations by pointwise mutual information
+    (min joint count 5) — phrase-vocabulary / tokenizer-merge
+    candidate mining; micro-nat integer ranking key
+    (operators/textstats.py pmi_collocations)."""
+    from tegola_spark.operators import textstats
+    from tegola_spark.sources import corpus
+
+    docs = corpus.documents(spark, sf_dir)
+    return textstats.pmi_collocations(docs, min_count=5, k=20) \
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+
+
 def q_domain_quota(spark, sf_dir):
     """Exact proportional sampling-budget allocation across domains
     (largest-remainder / Hamilton apportionment): integer base + the
@@ -1516,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "dsir_select": q_dsir_select,
         "domain_quota": q_domain_quota,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -1952,6 +1966,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": _BIGRAM_LM_SQL,
         "dsir_select": _DSIR_SELECT_SQL,
         "domain_quota": _DOMAIN_QUOTA_SQL,
+        "pmi_collocations": _PMI_COLLOCATIONS_SQL,
         # mvt_tiles / mvt_layer_metrics / mvt_tiles_hier /
         # simhash_fingerprints / multimodal_decode: no SQL equivalent
         # (binary tile encode, blake2b hashes, stub decode) ->
@@ -3645,4 +3660,39 @@ _DOMAIN_QUOTA_SQL = """
                CAST(base + CASE WHEN rnk <= (SELECT R FROM r)
                                 THEN 1 ELSE 0 END AS BIGINT) AS quota
         FROM rk ORDER BY source
+"""
+
+
+# Mirrors operators/textstats.py pmi_collocations: identical division
+# order inside ln so both engines compute the same double before the
+# micro-nat floor.
+_PMI_COLLOCATIONS_SQL = """
+        WITH d AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS t
+          FROM documents
+        ), c1 AS (
+          SELECT w, COUNT(*) AS n1
+          FROM (SELECT unnest(t) AS w FROM d) GROUP BY w
+        ), ab AS (
+          SELECT t[i] AS w1, t[i + 1] AS w2
+          FROM d, unnest(range(1, greatest(len(t), 1))) AS u(i)
+        ), c2 AS (
+          SELECT w1, w2, COUNT(*) AS n2 FROM ab GROUP BY 1, 2
+        ), tot AS (
+          SELECT (SELECT CAST(SUM(n1) AS DOUBLE) FROM c1) AS T,
+                 (SELECT CAST(SUM(n2) AS DOUBLE) FROM c2) AS B
+        ), scored AS (
+          SELECT c2.w1, c2.w2, c2.n2 AS pair_count,
+                 CAST(floor(ln((CAST(c2.n2 AS DOUBLE) / tot.B)
+                      / ((CAST(a.n1 AS DOUBLE) / tot.T)
+                         * (CAST(b.n1 AS DOUBLE) / tot.T)))
+                      * 1e6 + 0.5) AS BIGINT) AS pmi_micro
+          FROM c2
+          JOIN c1 a ON a.w = c2.w1
+          JOIN c1 b ON b.w = c2.w2, tot
+          WHERE c2.n2 >= 5
+        )
+        SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count, pmi_micro
+        FROM scored ORDER BY pmi_micro DESC, w1, w2 LIMIT 20
 """

@@ -505,3 +505,50 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
                F.round(F.col("lp_micro_sum")
                        / (F.col("n_tokens") * F.lit(1e6)), 6))
          .otherwise(F.lit(0.0)))
+
+
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", min_count: int = 5,
+                     k: int = 20) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the
+    corpus-analysis pass behind phrase vocabularies and tokenizer
+    merge candidates: bigrams whose joint frequency beats the
+    independence assumption,
+
+        PMI(a,b) = ln( (c2(a,b)/B) / ((c1(a)/T) * (c1(b)/T)) )
+
+    with c2/B bigram counts/total and c1/T unigram counts/total.
+    ``min_count`` floors the joint count (PMI is notoriously noisy on
+    rare pairs).  The score is quantized to integer micro-nats and the
+    ranking key is (score_micro, w1, w2) — fully engine-deterministic.
+
+    Plan: the two count builds carry map-side partials; the unigram
+    table is vocab-sized and joins back broadcast onto the bigram
+    counts (bigram-table-sized, the only shuffled frame); top-k is
+    TakeOrdered, never a global sort.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    words = base.select(F.explode("t").alias("w"))
+    c1 = words.groupBy("w").agg(F.count("*").alias("n1"))
+    bigrams = F.expr(
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+        " (x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))")
+    big = base.select(F.explode(bigrams).alias("b")).select("b.w1", "b.w2")
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    tot = c1.agg(F.sum("n1").alias("_t")).crossJoin(
+        c2.agg(F.sum("n2").alias("_b")))
+    scored = (c2.where(F.col("n2") >= min_count)
+              .join(F.broadcast(c1.select(F.col("w").alias("w1"),
+                                          F.col("n1").alias("na"))), "w1")
+              .join(F.broadcast(c1.select(F.col("w").alias("w2"),
+                                          F.col("n1").alias("nb"))), "w2")
+              .crossJoin(F.broadcast(tot))
+              .select(
+                  "w1", "w2", F.col("n2").alias("pair_count"),
+                  F.floor(F.log(
+                      (F.col("n2").cast("double") / F.col("_b").cast("double"))
+                      / ((F.col("na").cast("double") / F.col("_t").cast("double"))
+                         * (F.col("nb").cast("double") / F.col("_t").cast("double"))))
+                      * 1e6 + 0.5).cast("long").alias("pmi_micro")))
+    return (scored.orderBy(F.col("pmi_micro").desc(), "w1", "w2").limit(k))

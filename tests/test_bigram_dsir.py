@@ -114,3 +114,38 @@ def test_proportional_quota_uniform_groups(spark):
     got = {r["source"]: r["quota"]
            for r in sampling.proportional_quota(df, total=100).collect()}
     assert got == {f"s{g}": 25 for g in range(4)}
+
+
+def test_pmi_collocations_reference(spark):
+    import math
+
+    from tegola_spark.operators import textstats as ts
+
+    # "x y" always adjacent (perfect collocation); "a b" co-occur at
+    # chance level across many tokens
+    docs = [(i, "x y " + "a b " * 3 + "b a " * 3) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["w1"], r["w2"]): (r["pair_count"], r["pmi_micro"])
+           for r in ts.pmi_collocations(df, min_count=5, k=50).collect()}
+    # independent reference
+    toks = [t for _, s in docs for t in s.split(" ") if t]
+    T = len(toks)
+    c1 = {}
+    for w in toks:
+        c1[w] = c1.get(w, 0) + 1
+    c2 = {}
+    for _, s in docs:
+        tt = [x for x in s.split(" ") if x]
+        for a, b in zip(tt, tt[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    B = sum(c2.values())
+    for (a, b), n2 in c2.items():
+        if n2 < 5:
+            assert (a, b) not in got
+            continue
+        pmi = math.floor(math.log((n2 / B) / ((c1[a] / T) * (c1[b] / T)))
+                         * 1e6 + 0.5)
+        assert got[(a, b)] == (n2, pmi)
+    # the perfect collocation outranks the chance-level pairs
+    top = max(got, key=lambda p: got[p][1])
+    assert top == ("x", "y")
