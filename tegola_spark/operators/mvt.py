@@ -690,6 +690,30 @@ def _auto_vector_emit() -> bool:
 
 _VECTORIZE_POINT_BLOCK = _auto_vector_emit()
 
+# Size-aware hybrid (round-6): even when the deployment-shape decision
+# turns the vectorized emitters OFF (wide hosts contend on memory
+# bandwidth), a very large group is the ENCODE STAGE'S STRAGGLER — the
+# z0/z1 tiles hold the whole corpus, their task runs on after the other
+# workers drain, and the "bandwidth is contended at 32-way" premise
+# inverts: the tail task has the bus to itself, so the 2.6x
+# single-threaded win of the block emitter applies in full. Groups at
+# or above this row count therefore always take the vectorized path
+# (re-measured round 6: hot-tile encode 3.5s -> ~1.4s, stage wall bound
+# by the tail). SPARK_GRAFT_VECTOR_EMIT=0 still forces scalar
+# everywhere (the differential tests rely on it).
+_VECTOR_EMIT_MIN_ROWS = int(os.environ.get("SPARK_GRAFT_VECTOR_EMIT_MIN",
+                                           "8192"))
+_VECTOR_EMIT_FORCED_OFF = os.environ.get("SPARK_GRAFT_VECTOR_EMIT") == "0"
+
+
+def vector_emit(n: int) -> bool:
+    """Per-group emission-strategy decision (see _VECTOR_EMIT_MIN_ROWS)."""
+    if _VECTORIZE_POINT_BLOCK:
+        return True
+    if _VECTOR_EMIT_FORCED_OFF:
+        return False
+    return n >= _VECTOR_EMIT_MIN_ROWS
+
 
 def encode_point_layer_arrays(name: str, fids: np.ndarray, zz: np.ndarray,
                               tag_cols, extent: int = DEFAULT_EXTENT) -> bytes:
@@ -773,7 +797,7 @@ def encode_layer(name: str, features, extent: int = DEFAULT_EXTENT) -> bytes:
     # all-point layers (the corpus case: every feature pre-encoded as a
     # 3-command point stream with an integer id) take the vectorized
     # block emitter — byte-identical, ~10x less Python per feature
-    vectorizable = _VECTORIZE_POINT_BLOCK and bool(features) and all(
+    vectorizable = vector_emit(len(features)) and bool(features) and all(
         "cmds" in f and f["cmds"][1] == GEOM_POINT
         and len(f["cmds"][0]) == 3 and f.get("id") is not None
         for f in features)
@@ -812,7 +836,7 @@ def encode_layer(name: str, features, extent: int = DEFAULT_EXTENT) -> bytes:
                                                       gtype, geom_arr)))
     for k in keys:
         parts.append(_len_delim(3, k.encode("utf-8")))
-    if _VECTORIZE_POINT_BLOCK and vals and all(
+    if vector_emit(len(vals)) and vals and all(
             isinstance(v, str) for v in vals):
         parts.append(encode_str_values_block(vals))
     else:

@@ -35,6 +35,13 @@ def brute_force_topk(emb: DataFrame, query_ids, k: int,
     """For each query id, the k nearest OTHER vectors by cosine.
     Output: (query_id, rank, neighbor_id, score_r6) — score rounded to
     6 decimals for cross-engine hash stability."""
+    from ..sources.corpus import spread_scan
+
+    # round-6: the streamed (big) side of the broadcast cross join is
+    # the raw embeddings scan — a single-row-group parquet file plans
+    # 1-2 tasks, so every dot product ran on one core (guide §2.5
+    # input skew). Conditional no-op on a properly-split table.
+    emb = spread_scan(emb, id_col)
     base = with_norm(emb, emb_col).select(
         F.col(id_col).alias("nid"), F.col(emb_col).alias("nemb"), F.col("_norm").alias("nnorm"))
     queries = base.where(F.col("nid").isin(list(query_ids))).select(

@@ -38,26 +38,37 @@ def col_world_y(lat: Column, z: int) -> Column:
     return (F.lit(0.5) - ymerc / F.lit(2.0 * math.pi)) * F.lit(float(1 << z))
 
 
+def _col_n(z: Column) -> Column:
+    """2^z as an exact double for a zoom COLUMN — multiplies the world
+    coordinate last, so the float-op order (and result bits) match the
+    per-zoom-literal form ``F.lit(float(1 << z))`` exactly."""
+    return F.pow(F.lit(2.0), z.cast("double"))
+
+
+def col_world_x_n(lon: Column, n: Column) -> Column:
+    return (lon + F.lit(180.0)) / F.lit(360.0) * n
+
+
+def col_world_y_n(lat: Column, n: Column) -> Column:
+    phi = lat * F.lit(math.pi / 180.0)
+    ymerc = F.log(F.tan(F.lit(math.pi / 4.0) + phi / F.lit(2.0)))
+    return (F.lit(0.5) - ymerc / F.lit(2.0 * math.pi)) * n
+
+
 def assign_point_tiles(points: DataFrame, zooms, buffer_frac: float = BUFFER_FRAC) -> DataFrame:
     """Fan each point out to every (z, x, y) whose BUFFERED extent
-    contains it. Adds columns z, x, y; one output row per membership."""
-    n_z = {z: 1 << z for z in zooms}
+    contains it. Adds columns z, x, y; one output row per membership.
+
+    Branch-free in z (round-6): zoom is a column and 2^z an exact
+    double, so one expression covers every zoom — the earlier per-zoom
+    CASE chains grew the plan linearly in |zooms| (planning time was a
+    measured ~4 s/run slice of the tile build at 6 zooms)."""
     zdf = F.explode(F.array(*[F.lit(z) for z in zooms])).alias("z")
     out = points.select("*", zdf)
-    # per-z world coords (piecewise since zoom is now a column)
-    wx = None
-    wy = None
-    for z in zooms:
-        cond = F.col("z") == z
-        cx = col_world_x(F.col("lon"), z)
-        cy = col_world_y(F.col("lat"), z)
-        wx = F.when(cond, cx) if wx is None else wx.when(cond, cx)
-        wy = F.when(cond, cy) if wy is None else wy.when(cond, cy)
-    nmax = None
-    for z in zooms:
-        cond = F.col("z") == z
-        nmax = F.when(cond, F.lit(n_z[z])) if nmax is None else nmax.when(cond, F.lit(n_z[z]))
-    out = out.withColumn("_wx", wx).withColumn("_wy", wy).withColumn("_n", nmax)
+    n = _col_n(F.col("z"))
+    out = (out.withColumn("_wx", col_world_x_n(F.col("lon"), n))
+              .withColumn("_wy", col_world_y_n(F.col("lat"), n))
+              .withColumn("_n", n.cast("long")))
     off = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
     out = out.select("*", off.alias("_dx"))
     out = out.select("*", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_dy"))
@@ -83,23 +94,29 @@ def assign_bbox_tiles(feats: DataFrame, zooms, buffer_frac: float = BUFFER_FRAC)
     tiles whose buffered extent intersects the bbox — the J2 bbox range
     join realized as sequence+explode (bounded: polygon layers are the
     small side). Adds z, x, y."""
-    out = None
-    for z in zooms:
-        n = 1 << z
-        x0 = F.floor(col_world_x(F.col("minx"), z) - F.lit(buffer_frac)).cast("long")
-        x1 = F.floor(col_world_x(F.col("maxx"), z) + F.lit(buffer_frac)).cast("long")
-        # y grows downward: maxy (north) -> smaller y
-        y0 = F.floor(col_world_y(F.col("maxy"), z) - F.lit(buffer_frac)).cast("long")
-        y1 = F.floor(col_world_y(F.col("miny"), z) + F.lit(buffer_frac)).cast("long")
-        part = (
-            feats.withColumn("z", F.lit(z))
-            .withColumn("x", F.explode(F.sequence(
-                F.greatest(x0, F.lit(0)), F.least(x1, F.lit(n - 1)))))
-            .withColumn("y", F.explode(F.sequence(
-                F.greatest(y0, F.lit(0)), F.least(y1, F.lit(n - 1)))))
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    # Branch-free in z (round-6): one scan + explode(zooms) instead of a
+    # |zooms|-way union that re-planned and re-scanned the feats subtree
+    # per zoom (6 zooms = 6 scan subplans + 6 small stages; both the
+    # Catalyst planning slice and the per-stage scheduling overhead
+    # scaled with |zooms|). The per-zoom arithmetic is identical: 2^z as
+    # an exact double multiplies last, same float-op order as the
+    # literal form.
+    zdf = F.explode(F.array(*[F.lit(z) for z in zooms])).alias("z")
+    out = feats.select("*", zdf)
+    n = _col_n(F.col("z"))
+    nmax = n.cast("long") - 1
+    b = F.lit(buffer_frac)
+    x0 = F.floor(col_world_x_n(F.col("minx"), n) - b).cast("long")
+    x1 = F.floor(col_world_x_n(F.col("maxx"), n) + b).cast("long")
+    # y grows downward: maxy (north) -> smaller y
+    y0 = F.floor(col_world_y_n(F.col("maxy"), n) - b).cast("long")
+    y1 = F.floor(col_world_y_n(F.col("miny"), n) + b).cast("long")
+    return (
+        out.withColumn("x", F.explode(F.sequence(
+            F.greatest(x0, F.lit(0).cast("long")), F.least(x1, nmax))))
+        .withColumn("y", F.explode(F.sequence(
+            F.greatest(y0, F.lit(0).cast("long")), F.least(y1, nmax))))
+    )
 
 
 def tile_list(spark, bounds, zooms) -> DataFrame:

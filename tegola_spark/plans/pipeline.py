@@ -253,7 +253,7 @@ def _encode_one(pdf: pd.DataFrame, t0: float, z: int, x: int, y: int,
     # holds non-string values (e.g. numeric default_tags) — the
     # factorize dictionary can't reproduce type-sensitive value
     # identity then.
-    if mvt._VECTORIZE_POINT_BLOCK and soa.all() and len(pdf):
+    if mvt.vector_emit(len(pdf)) and soa.all() and len(pdf):
         tag_cols = []
         strings_only = True
         for c in pdf.columns:
@@ -394,7 +394,8 @@ def point_features(spark: SparkSession, sf_dir: str, docs=None) -> DataFrame:
     corpus (the geocode UDF is the only Python stage before the encode
     shuffle), and the dominant shuffle carries only this stream's own
     live columns."""
-    pts = corpus.geocoded_pages(corpus.pages(spark, sf_dir, docs=docs))
+    doc = corpus.documents(spark, sf_dir) if docs is None else docs
+    pts = corpus.geocoded_points(doc)
 
     return pts.select(
         F.col("doc_id").alias("feature_id"),
@@ -754,8 +755,8 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
     cat = None
     if with_polygons or with_roads:
         # zoom pruning from the layer catalog (P4) — regions capped at z<=6
-        cat = {r["layer"]: (r["min_zoom"], r["max_zoom"])
-               for r in layers.layer_catalog(spark).collect()}
+        # static config — driver-side read, no per-build collect job
+        cat = layers.layer_zoom_ranges()
     if with_polygons:
         polys = tiling.assign_bbox_tiles(polygon_features(spark, sf_dir), zooms)
         cond = None
@@ -893,9 +894,16 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
             return _encode
 
         _encode = _make_encode(const_layer)
+        # explicit repartition on the bucket key: groupBy reuses the
+        # exchange (HashPartitioning(_bucket, n) satisfies the grouped-
+        # map's ClusteredDistribution), and a REPARTITION_BY_NUM shuffle
+        # is exempt from AQE byte-based coalescing — which otherwise
+        # shrank this python-heavy stage to bytes/1m tasks (measured 5
+        # tasks on 32 cores, round-6 profile)
         m = (
             feats.withColumn(
                 "_bucket", F.pmod(F.hash(*group_keys), F.lit(n_buckets)))
+            .repartition(n_buckets, "_bucket")
             .groupBy("_bucket")
             .applyInPandas(_encode, ENCODE_SCHEMA)
         )
@@ -1436,8 +1444,7 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
     if with_polygons and fused:
         pf = polygon_features(spark, sf_dir)
         polys_bc = spark.sparkContext.broadcast(pf.toPandas())
-        layer_zoom = {r["layer"]: (r["min_zoom"], r["max_zoom"])
-                      for r in layers.layer_catalog(spark).collect()}
+        layer_zoom = layers.layer_zoom_ranges()
         _null_types = {"feature_id": "long", "lon": "double",
                        "lat": "double", "_upid": "int", "_usfx": "string",
                        "tag_url": "string", "tag_lang": "string"}
@@ -1558,8 +1565,11 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
                 url_prefixes=None if ubc is None else ubc.value)
         return _encode
 
+    # explicit repartition before the grouped-map: AQE-coalescing-exempt
+    # (see build_tiles) so the anchor encode keeps its parallelism
     bucketed = anchored.withColumn(
         "_bucket", F.pmod(F.hash("x", "y"), F.lit(n_buckets))) \
+        .repartition(n_buckets, "_bucket") \
         .groupBy("_bucket")
     if not fused:
         hier_metrics = bucketed.applyInPandas(

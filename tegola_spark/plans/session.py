@@ -50,6 +50,21 @@ def get_spark(app_name: str = "tegola_spark", cpus: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor is BYTE-based (default 1m), while the
+        # engine's expensive post-shuffle stages are python kernels whose
+        # cost per byte is ~1000x a JVM operator's: round-6 measurement
+        # showed the ~5 MB encode exchange coalesced to 5 tasks, leaving
+        # 27 of 32 cores idle through the dominant stage (21 s of
+        # executor time at 1.7 s JVM CPU). An interleaved A/B of a
+        # global 64k floor won the tile build (-1.4 s) but taxed every
+        # small JVM shuffle (+0.1-1 s each: more tasks per tiny
+        # exchange), so the default stays 1m and the PYTHON-KERNEL
+        # exchanges are instead pinned wide with explicit
+        # repartition(n, key) (REPARTITION_BY_NUM shuffles are exempt
+        # from AQE coalescing) — see plans/pipeline.py. Env knob kept
+        # for measurement.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PART", "1m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

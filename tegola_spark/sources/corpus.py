@@ -25,6 +25,8 @@ is the stand-in for the geocoder the north star requires.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -38,8 +40,46 @@ ORACLE_LAT = "((doc_id * 104729) % 170000) / 1000.0 - 85.0 + 0.0005"
 _TS_BASE = 1735689600
 
 
+# Spread threshold (bytes): below this the corpus is too small for the
+# one-exchange spread to pay for itself (and the tiny unit-test fixtures
+# keep their pinned single-stage plans).
+_SPREAD_MIN_BYTES = 256 * 1024
+
+
+def spread_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Round-6 input-skew fix (optimization guide §2.5 "one huge
+    unsplittable file ... repartition immediately after the read"): the
+    small-SF corpora are ONE parquet file with ONE row group, so the
+    scan plans 1-2 tasks and every per-row stage below the first
+    exchange (minhash signatures, html render/extract, token stats,
+    embedding dot products) runs on one core of local[32]. When the
+    scan has fewer splits than half the cores, hash-repartition on the
+    row key (deterministic under retries — guide §2.5 warns off
+    round-robin/rand keys) so downstream per-row work parallelizes.
+    Conditional by construction: a real multi-file corpus at scale
+    already scans wider than the core count, making this a no-op;
+    SPARK_GRAFT_SCAN_SPREAD=0 forces it off."""
+    if os.environ.get("SPARK_GRAFT_SCAN_SPREAD", "1") != "1":
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_splits = df.rdd.getNumPartitions()
+        if n_splits * 2 >= par:
+            return df
+        n_bytes = 0
+        for f in df.inputFiles():
+            p = f[len("file:"):] if f.startswith("file:") else f
+            n_bytes += os.path.getsize(p)
+    except Exception:
+        return df
+    if n_bytes < _SPREAD_MIN_BYTES:
+        return df
+    return df.repartition(par, F.col(key_col))
+
+
 def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                       "doc_id")
 
 
 def col_lon(doc_id):
@@ -138,3 +178,56 @@ def geocoded_pages(pages_df: DataFrame) -> DataFrame:
     path: geocode FROM the page, not from doc_id)."""
     return pages_df.withColumn("lat", geocode_lat("html")) \
                    .withColumn("lon", geocode_lon("html"))
+
+
+@F.pandas_udf(T.StructType([T.StructField("lat", T.DoubleType()),
+                            T.StructField("lon", T.DoubleType())]))
+def _render_and_geocode(text: pd.Series, url: pd.Series,
+                        lat_in: pd.Series, lon_in: pd.Series) -> pd.DataFrame:
+    """Fused render -> geocode for consumers that need only the parsed
+    coordinates (round-6, guide §4.1): the split path shipped the full
+    html binary across the JVM/Python boundary three times (render out,
+    then back in for geocode_lat AND again for geocode_lon, each
+    re-decoding the bytes). Here the page is rendered and parsed inside
+    one Arrow batch pass — the honest path is unchanged (coordinates
+    still come from regex-parsing the rendered page, exactly the
+    geocode_lat/geocode_lon expressions), but only (text, url) cross in
+    and 16 bytes/row cross out."""
+    lat_s = lat_in.map(repr)
+    lon_s = lon_in.map(repr)
+    body = _escape(text.fillna(""))
+    html = (
+        '<html><head><meta name="geo.position" content="'
+        + lat_s + ";" + lon_s
+        + '"/><meta charset="utf-8"/><title>' + url
+        + "</title></head><body><article><p>" + body
+        + "</p></article></body></html>"
+    )
+    lat = html.str.extract(r'geo\.position" content="([^;]+);',
+                           expand=False).astype(float)
+    lon = html.str.extract(r'geo\.position" content="[^;]+;([^"]+)"',
+                           expand=False).astype(float)
+    return pd.DataFrame({"lat": lat, "lon": lon})
+
+
+def geocoded_points(doc: DataFrame) -> DataFrame:
+    """documents -> (doc_id, url, lang, lat, lon) through the fused
+    render+geocode kernel — same values as
+    ``geocoded_pages(pages(...))`` (pinned by test), one python stage
+    instead of three and no html bytes on the return path."""
+    base = doc.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+            F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.col("lang"),
+        F.col("text"),
+        col_lat(F.col("doc_id")).alias("_lat"),
+        col_lon(F.col("doc_id")).alias("_lon"),
+    )
+    geo = base.withColumn(
+        "_g", _render_and_geocode("text", "url", "_lat", "_lon"))
+    return geo.select("doc_id", "url", "lang",
+                      F.col("_g.lat").alias("lat"),
+                      F.col("_g.lon").alias("lon"))

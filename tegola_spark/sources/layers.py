@@ -116,19 +116,32 @@ def road_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# F5 layer_config rows — the static catalog behind layer_catalog().
+# (map, layer, source, min_zoom, max_zoom, dont_simplify, dont_clip)
+LAYER_CATALOG_ROWS = [
+    ("default", "pages", "pages", 0, 22, False, False),
+    ("default", "nations", "nation", 0, 22, False, False),
+    ("default", "regions", "region", 0, 6, False, False),
+    ("default", "roads", "nation", 0, 22, False, False),
+]
+
+
 def layer_catalog(spark: SparkSession) -> DataFrame:
     """F5 layer_config: zoom-validity + per-layer toggles
     (atlas/layer.go:10-30; zoom pruning atlas/map.go:147-161)."""
-    rows = [
-        # map, layer, source, min_zoom, max_zoom, dont_simplify, dont_clip
-        ("default", "pages", "pages", 0, 22, False, False),
-        ("default", "nations", "nation", 0, 22, False, False),
-        ("default", "regions", "region", 0, 6, False, False),
-        ("default", "roads", "nation", 0, 22, False, False),
-    ]
     return spark.createDataFrame(
-        rows, "map_name string, layer string, source string, "
-              "min_zoom int, max_zoom int, dont_simplify boolean, dont_clip boolean")
+        LAYER_CATALOG_ROWS,
+        "map_name string, layer string, source string, "
+        "min_zoom int, max_zoom int, dont_simplify boolean, dont_clip boolean")
+
+
+def layer_zoom_ranges() -> dict:
+    """{layer: (min_zoom, max_zoom)} straight from the static catalog —
+    config-sized, so the tile builds read it driver-side instead of
+    launching a 32-task collect() job per build (round-6 measurement:
+    ~0.25 s wall and one whole Spark job per pipeline run spent
+    collecting 4 constant rows)."""
+    return {r[1]: (r[3], r[4]) for r in LAYER_CATALOG_ROWS}
 
 
 def infer_geom_type(df: DataFrame, geom_col: str = "geom"):
