@@ -93,6 +93,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 64,
                        shingle_k: int = 5) -> DataFrame:
     """id -> minhash signature (array<long> of length num_perm)."""
+    from ..sources.corpus import spread_scan
+
+    # the signature UDF is the corpus-scale python stage: spread an
+    # under-split scan so it runs core-wide instead of single-threaded
+    # (round-6; no-op on a properly split table). This was the 12-22 s
+    # cold first rep of minhash_pairs in BENCH_r05.
+    df = spread_scan(df, id_col)
     a, b = _hash_params(num_perm)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -217,6 +224,10 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text",
     """64-bit SimHash over whitespace tokens (FNV token hashes)."""
 
     from hashlib import blake2b
+
+    from ..sources.corpus import spread_scan
+
+    df = spread_scan(df, id_col)  # python stage below: run it core-wide
 
     @F.pandas_udf(T.LongType())
     def sh(texts: pd.Series) -> pd.Series:

@@ -150,21 +150,26 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 5,
                            (F.col("w") * F.expr("pr div src_od"))
                            .alias("c"))
                    .groupBy("domain").agg(F.sum("c").alias("inflow")))
-        # dangling mass: one aggregated scalar per sweep (O(1) driver
-        # rows), skipped when the static dangling set is empty
+        # dangling mass: folded into the sweep as a broadcast 1-row
+        # aggregate instead of a separate collect() action (round-6,
+        # closing the round-5 review note) — the scalar materializes
+        # inside the same job that checkpoints the new pr frame, so a
+        # sweep is ONE action, not two; still skipped entirely when the
+        # static dangling set is empty
+        nxt = marked.join(contrib, "domain", "left")
         if has_dangling:
-            dang = (pr.join(dang_nodes, "domain", "left_semi")
-                      .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("dm"))
-                      .collect()[0]["dm"])
+            share_df = (pr.join(dang_nodes, "domain", "left_semi")
+                        .agg(F.expr(f"coalesce(sum(pr), 0L) div {n_tel}")
+                             .alias("_share")))
+            nxt = nxt.crossJoin(F.broadcast(share_df))
+            share_col = "_share"
         else:
-            dang = 0
-        share = dang // n_tel
-        pr = (marked.join(contrib, "domain", "left")
-              .select(
+            share_col = "0L"
+        pr = (nxt.select(
                   "domain",
                   (base_expr
                    + F.expr(f"({DAMP_NUM} * (coalesce(inflow, 0) + "
-                            f"if(_is_seed, {share}, 0))) div {DAMP_DEN}"))
+                            f"if(_is_seed, {share_col}, 0L))) div {DAMP_DEN}"))
                   .cast("long").alias("pr"))
               .localCheckpoint())
     return pr.select("domain", F.col("pr").alias("pr_micro"))

@@ -93,9 +93,15 @@ def spatial_join(points: DataFrame, polys: DataFrame, res: int,
     """points (lon, lat, ...) x polys (feature_id, layer, geom WKB,
     minx..maxy) -> matched pairs. Inner join; a point can match many
     polygons (one row per match)."""
+    from ..sources.corpus import spread_scan
+
     cover = polygon_cover(polys, res)
     if broadcast_polys:
         cover = F.broadcast(cover)
+    # the PIP residual below is a per-row python stage on the big side;
+    # spread an under-split point scan so it runs core-wide (round-6,
+    # no-op on a properly split table)
+    points = spread_scan(points, "lon")
     pts = points.withColumn("cell", cells.col_cell_from_lonlat(F.col("lon"), F.col("lat"), res))
     cand = pts.join(cover, "cell", "inner")
     pip = pip_filter_udf()
@@ -125,7 +131,10 @@ def knn_cell_ring(points: DataFrame, queries, k: int, step_deg: float = 4.0,
     ``queries``: list of (query_id, qlon, qlat). Returns DataFrame
     (query_id, rank, <id_col>, dist_sq).
     """
+    from ..sources.corpus import spread_scan
+
     spark = points.sparkSession
+    points = spread_scan(points, "lon")  # core-wide distance passes
     pts = _grid_cols(points, step_deg).select(id_col, "lon", "lat", "_cx", "_cy")
     pts.cache()
     try:

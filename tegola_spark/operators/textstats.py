@@ -357,9 +357,15 @@ def quality_cut(df: DataFrame, q: float = 0.1, text_col: str = "text",
     """
     from tegola_spark.operators.stats import global_quantile
 
+    # localCheckpoint (eager) instead of persist(): global_quantile
+    # already runs actions during construction, so the scores
+    # materialize exactly once either way — but the old persist() was
+    # never released and leaked cached partitions for the session
+    # lifetime under repeated invocation (round-5 advisor item); local-
+    # checkpoint blocks are dropped when the plan is garbage-collected.
     scored = (unigram_lm_score(df, text_col, id_col)
               .where(F.col("n_tokens") > 0)
-              .persist())
+              .localCheckpoint())
     thr = global_quantile(scored, "avg_logprob_r6", q) \
         .select(F.col("v").alias("threshold_r6"))
     return (scored.crossJoin(F.broadcast(thr))

@@ -716,7 +716,8 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
                 repair_polygons: bool = True,
                 n_docs: int | None = None,
                 point_zooms=None,
-                tile_filter: DataFrame | None = None
+                tile_filter: DataFrame | None = None,
+                points_df: DataFrame | None = None
                 ) -> tuple[DataFrame, DataFrame]:
     """Returns (layer_metrics_df, tiles_df).
 
@@ -749,8 +750,12 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
     pzooms = list(zooms) if point_zooms is None else list(point_zooms)
     streams: list[tuple[DataFrame, str | None]] = []  # (feats, const_layer)
     if pzooms:
+        # ``points_df``: the hierarchical build passes its own geocoded
+        # point frame (post-reuse-exchange) so BOTH its consumers share
+        # one geocode evaluation — see build_tiles_hierarchical
         pts = tiling.assign_point_tiles(
-            point_features(spark, sf_dir, docs=docs), pzooms)
+            point_features(spark, sf_dir, docs=docs)
+            if points_df is None else points_df, pzooms)
         streams.append((pts.select(*POINT_STREAM_COLS), "pages"))
     cat = None
     if with_polygons or with_roads:
@@ -799,10 +804,16 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
     else:
         cap = None
 
-    # 4x shuffle partitions: finer buckets = better straggler balance in
-    # the python-heavy encode stage (per-invocation overhead is small
-    # since rows accumulate as dicts)
-    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
+    # n_buckets = shuffle partitions, NOT a finer multiple (round-6):
+    # with the encode exchanges pinned as explicit repartitions (AQE-
+    # exempt), a 4x multiplier materialized as real python tasks — 768
+    # tasks across the three streams at ~150 ms fixed worker cost each
+    # (~115 s of pure overhead, measured) — while the straggler-balance
+    # problem it solved is now handled by the size-aware vectorized
+    # emitter (mvt.vector_emit). shuffle.partitions is already sized
+    # 2-3x total cores on a cluster, which is the right task grain for
+    # the python stages too.
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     # single-exchange streaming encode (round-5): hash-partition by the
     # group key, sort spillably in the JVM, then ONE pass that caps +
@@ -851,6 +862,12 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
     metrics = None
     for feats, const_layer in streams:
         group_keys = ["z", "x", "y"] + ([] if const_layer else ["layer"])
+        # bbox streams (polygons/roads) are catalog-sized by contract —
+        # a full-width bucket fan costs ~120 ms of fixed python-task
+        # overhead per bucket for a handful of rows each (round-6
+        # measurement); give them a quarter of the width
+        nb = n_buckets if const_layer is not None \
+            else max(8, n_buckets // 4)
         if default_tags:
             feats = merge_default_tags(feats, default_tags)
         if filter_keys is not None:
@@ -863,7 +880,7 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
             if cap_first and const_layer is not None:
                 feats = _cap_first_filter(feats, group_keys, cap)
             m = (
-                feats.repartition(n_buckets, *group_keys)
+                feats.repartition(nb, *group_keys)
                 .sortWithinPartitions(*group_keys, "feature_id")
                 .mapInPandas(
                     _make_stream_encode(rule, simplify, repair_polygons,
@@ -872,7 +889,21 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
             metrics = m if metrics is None else metrics.unionByName(m)
             continue
 
-        if cap is not None:
+        # exact cap-skip (round-6): assign_point_tiles emits a point to
+        # a tile AT MOST ONCE (the 3x3 neighbor offsets are distinct),
+        # so a (z,x,y) group of the single-layer point stream can never
+        # exceed n_pts rows — when n_pts <= the smallest zoom budget the
+        # cap window is provably the identity and its sort + exchange
+        # are pure cost. Exact, not heuristic: the moment the corpus
+        # outgrows the budget the window returns. (n_pts None = caller
+        # gave no count and no gate computed one -> conservative keep.)
+        cap_cannot_bind = (
+            const_layer is not None and rule is not None
+            and n_pts is not None and pzooms
+            and n_pts <= min(rule(z) for z in pzooms))
+        if cap is not None and cap_cannot_bind:
+            pass  # no group can reach the budget; n_dropped stays 0
+        elif cap is not None:
             # rank + group count share one window spec (single sort);
             # cap-dropped rows never reach the encode shuffle, but their
             # count rides along on the kept rows for n_dropped lineage
@@ -902,8 +933,8 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
         # tasks on 32 cores, round-6 profile)
         m = (
             feats.withColumn(
-                "_bucket", F.pmod(F.hash(*group_keys), F.lit(n_buckets)))
-            .repartition(n_buckets, "_bucket")
+                "_bucket", F.pmod(F.hash(*group_keys), F.lit(nb)))
+            .repartition(nb, "_bucket")
             .groupBy("_bucket")
             .applyInPandas(_encode, ENCODE_SCHEMA)
         )
@@ -1426,8 +1457,20 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
     if n_docs is None and os.environ.get("SPARK_GRAFT_URL_DICT") is None:
         n_docs = (docs.count() if docs is not None
                   else corpus.documents(spark, sf_dir).count())
-    pts = point_features(spark, sf_dir, docs=docs)
-    pts, upfx_bc = _dict_encode_url(spark, pts, n_pts=n_docs)
+    # Geocode-once reuse point (round-6, guide §8 "move small rows
+    # once"): the hierarchical build consumes the geocoded points from
+    # SEVERAL plan branches (anchor fan-out, low-zoom stream, url-dict
+    # distinct) and each branch above a shared exchange re-executes the
+    # subtree — profiled as the render+geocode python stage running
+    # twice per run. A repartition on feature_id right above the
+    # geocode makes every branch's exchange subtree identical, so
+    # ReuseExchange computes the python stage ONCE and the other
+    # branches read its shuffle output. At scale this moves the THIN
+    # point projection (~40 B/row) once instead of re-running a full
+    # corpus python pass per branch.
+    pts0 = point_features(spark, sf_dir, docs=docs).repartition(
+        spark.sparkContext.defaultParallelism, "feature_id")
+    pts, upfx_bc = _dict_encode_url(spark, pts0, n_pts=n_docs)
     point_cols = ["feature_id", "lon", "lat"] + \
         (["_upid", "_usfx"] if upfx_bc is not None else ["tag_url"]) + \
         ["tag_lang"]
@@ -1487,9 +1530,10 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
             with_polygons=with_polygons,
             simplify=simplify, repair_polygons=repair_polygons,
             max_features_per_tile=max_features_per_tile,
-            n_docs=n_low_docs, point_zooms=zooms_lo)
+            n_docs=n_low_docs, point_zooms=zooms_lo,
+            points_df=pts0)
 
-    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     if fused_low:
         rule = _cap_rule(max_features_per_tile)

@@ -78,8 +78,14 @@ def spread_scan(df: DataFrame, key_col: str) -> DataFrame:
 
 
 def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"),
-                       "doc_id")
+    # NOT spread here: consumers that do per-row python/heavy work call
+    # spread_scan themselves (pages, geocoded_points, minhash/simhash
+    # signatures, spatial join points, ...). Spreading at the source
+    # taxed the pure-aggregation consumers instead — exact_dedup's
+    # exchange went from 16-byte map-side-aggregated hashes to the full
+    # text column (measured +0.5 s), exactly the "shuffle fewer bytes"
+    # inversion guide §2.3 warns about.
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def col_lon(doc_id):
@@ -152,6 +158,10 @@ def pages(spark: SparkSession, sf_dir: str, docs: DataFrame | None = None) -> Da
     kept as the parity key alongside url. ``docs`` overrides the
     documents source (scaling benches pass an expanded corpus)."""
     doc = documents(spark, sf_dir) if docs is None else docs
+    # the render UDF below is the expensive per-row stage — spread an
+    # under-split scan so it runs core-wide (no-op on real multi-file
+    # corpora and on tiny test fixtures)
+    doc = spread_scan(doc, "doc_id")
     base = doc.select(
         "doc_id",
         F.concat(
@@ -215,6 +225,7 @@ def geocoded_points(doc: DataFrame) -> DataFrame:
     render+geocode kernel — same values as
     ``geocoded_pages(pages(...))`` (pinned by test), one python stage
     instead of three and no html bytes on the return path."""
+    doc = spread_scan(doc, "doc_id")
     base = doc.select(
         "doc_id",
         F.concat(
