@@ -53,16 +53,28 @@ from . import geometry as geo
 def polygon_cover(polys: DataFrame, res: int) -> DataFrame:
     """Explode polygons to their bbox cover cells at ``res`` (the
     broadcastable 'index side'). Requires minx/miny/maxx/maxy columns
-    (precomputed envelope, F3-style — provider/gpkg/util.go:30-35)."""
+    (precomputed envelope, F3-style — provider/gpkg/util.go:30-35).
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def cover(minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series) -> pd.Series:
-        return pd.Series([
-            cells.cover_bbox(x0, y0, x1, y1, res)
-            for x0, y0, x1, y1 in zip(minx, miny, maxx, maxy)
-        ])
+    Pure column expressions (round-6, guide §4.1): the pandas-UDF form
+    put a python worker round-trip on the broadcast-build critical path
+    of every spatial join; the sequence+explode twin emits the same
+    inclusive tile-range cell set from the same nudged conversions
+    (grid.col_lon2num/col_lat2num are the oracle-proven column twins of
+    the python pair cells.cover_bbox uses)."""
+    from ..functions import grid
 
-    return polys.withColumn("cell", F.explode(cover("minx", "miny", "maxx", "maxy")))
+    x0 = grid.col_lon2num(F.col("minx"), res)
+    x1 = grid.col_lon2num(F.col("maxx"), res)
+    ya = grid.col_lat2num(F.col("maxy"), res)  # larger lat -> smaller y
+    yb = grid.col_lat2num(F.col("miny"), res)
+    out = polys.withColumn(
+        "_cx", F.explode(F.sequence(F.least(x0, x1), F.greatest(x0, x1))))
+    out = out.withColumn(
+        "_cy", F.explode(F.sequence(F.least(ya, yb), F.greatest(ya, yb))))
+    cell = (F.lit(res).cast("long") * F.lit(cells._RES_MULT).cast("long")
+            + F.col("_cx") * F.lit(cells._XY_MULT).cast("long")
+            + F.col("_cy"))
+    return out.withColumn("cell", cell).drop("_cx", "_cy")
 
 
 def pip_filter_udf():
