@@ -1457,19 +1457,22 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
     if n_docs is None and os.environ.get("SPARK_GRAFT_URL_DICT") is None:
         n_docs = (docs.count() if docs is not None
                   else corpus.documents(spark, sf_dir).count())
-    # Geocode-once reuse point (round-6, guide §8 "move small rows
+    # Geocode-once materialization (round-6, guide §8 "move small rows
     # once"): the hierarchical build consumes the geocoded points from
-    # SEVERAL plan branches (anchor fan-out, low-zoom stream, url-dict
-    # distinct) and each branch above a shared exchange re-executes the
-    # subtree — profiled as the render+geocode python stage running
-    # twice per run. A repartition on feature_id right above the
-    # geocode makes every branch's exchange subtree identical, so
-    # ReuseExchange computes the python stage ONCE and the other
-    # branches read its shuffle output. At scale this moves the THIN
-    # point projection (~40 B/row) once instead of re-running a full
-    # corpus python pass per branch.
-    pts0 = point_features(spark, sf_dir, docs=docs).repartition(
-        spark.sparkContext.defaultParallelism, "feature_id")
+    # SEVERAL plan branches (anchor fan-out, low-zoom stream, cap-first
+    # thin window, url-dict distinct) and each branch re-executes the
+    # subtree — profiled as the render+geocode python stage running 2-3
+    # times per run. A shared reuse-exchange was tried first but
+    # per-branch column pruning changes the exchange's canonical form
+    # (the thin cap-first branch prunes tag columns), so ReuseExchange
+    # does not fire in the fused configs and the exchange itself added
+    # shuffle bytes. localCheckpoint (eager) materializes the THIN
+    # geocoded projection (~40-70 B/row) exactly once; every branch
+    # reads the blocks — no extra exchange, no recompute. This is the
+    # §8 "fingerprints table" move with cache instead of a write;
+    # executor-loss on a real cluster fails the build and retries it
+    # (same documented caveat as the iterative graph operators).
+    pts0 = point_features(spark, sf_dir, docs=docs).localCheckpoint()
     pts, upfx_bc = _dict_encode_url(spark, pts0, n_pts=n_docs)
     point_cols = ["feature_id", "lon", "lat"] + \
         (["_upid", "_usfx"] if upfx_bc is not None else ["tag_url"]) + \
