@@ -561,6 +561,24 @@ def fused_max_polys() -> int:
     return int(env) if env else FUSED_MAX_POLYS
 
 
+# Target rows per encode bucket (round-6): the python-kernel bucket fan
+# must adapt to VOLUME, not be a fixed multiple of shuffle partitions.
+# A fixed 4x multiple cost ~115 s of per-task worker overhead at bench
+# scale (768 near-empty tasks), while a fixed 1x starved the mult=600
+# scaling config of balance (32 buckets of ~100k heavy rows at 16
+# cores: the 16-core leg regressed 250 -> 308 s). rows/25k buckets,
+# clamped to [shuffle_partitions, 8x shuffle_partitions], reproduces
+# the measured best grain at BOTH scales (64 buckets at sf1.0, 128+ at
+# mult=600); unknown volume falls back to the legacy 4x.
+ENCODE_TARGET_ROWS_PER_BUCKET = 25_000
+
+
+def _encode_buckets(sp: int, rows: int | None) -> int:
+    if not rows:
+        return sp * 4
+    return min(sp * 8, max(sp, -(-rows // ENCODE_TARGET_ROWS_PER_BUCKET)))
+
+
 def _cap_rule(max_features_per_tile):
     """Per-zoom feature budget as a python callable (picklable into
     kernels): 'auto' -> zoom-scaled defaults, int -> fixed, falsy ->
@@ -804,16 +822,7 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
     else:
         cap = None
 
-    # n_buckets = shuffle partitions, NOT a finer multiple (round-6):
-    # with the encode exchanges pinned as explicit repartitions (AQE-
-    # exempt), a 4x multiplier materialized as real python tasks — 768
-    # tasks across the three streams at ~150 ms fixed worker cost each
-    # (~115 s of pure overhead, measured) — while the straggler-balance
-    # problem it solved is now handled by the size-aware vectorized
-    # emitter (mvt.vector_emit). shuffle.partitions is already sized
-    # 2-3x total cores on a cluster, which is the right task grain for
-    # the python stages too.
-    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     # single-exchange streaming encode (round-5): hash-partition by the
     # group key, sort spillably in the JVM, then ONE pass that caps +
@@ -865,9 +874,13 @@ def build_tiles(spark: SparkSession, sf_dir: str, zooms,
         # bbox streams (polygons/roads) are catalog-sized by contract —
         # a full-width bucket fan costs ~120 ms of fixed python-task
         # overhead per bucket for a handful of rows each (round-6
-        # measurement); give them a quarter of the width
-        nb = n_buckets if const_layer is not None \
-            else max(8, n_buckets // 4)
+        # measurement); give them a quarter of the width. The point
+        # stream gets the volume-adaptive grain (_encode_buckets).
+        if const_layer is not None:
+            nb = _encode_buckets(
+                sp, n_pts * len(pzooms) if n_pts and pzooms else None)
+        else:
+            nb = max(8, sp // 4)
         if default_tags:
             feats = merge_default_tags(feats, default_tags)
         if filter_keys is not None:
@@ -1536,7 +1549,12 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
             n_docs=n_low_docs, point_zooms=zooms_lo,
             points_df=pts0)
 
-    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # anchor groups carry the whole corpus once (plus ~10% buffer dup);
+    # fused-low carries it once per low zoom — volume-adaptive grain
+    n_buckets = _encode_buckets(sp, n_docs)
+    n_buckets_low = _encode_buckets(
+        sp, n_docs * len(zooms_lo) if n_docs and zooms_lo else None)
 
     if fused_low:
         rule = _cap_rule(max_features_per_tile)
@@ -1578,7 +1596,7 @@ def build_tiles_hierarchical(spark: SparkSession, sf_dir: str, zooms,
                          if fld.name not in ("z", "x", "y")]
             low = low.unionByName(keys.select("z", "x", "y", *low_nulls))
         low_out = (
-            low.repartition(n_buckets, "z", "x", "y")
+            low.repartition(n_buckets_low, "z", "x", "y")
             .sortWithinPartitions("z", "x", "y", "feature_id")
             .mapInPandas(
                 _make_fused_low_encode(rule, simplify, repair_polygons,
