@@ -105,15 +105,16 @@ def spatial_join(points: DataFrame, polys: DataFrame, res: int,
     """points (lon, lat, ...) x polys (feature_id, layer, geom WKB,
     minx..maxy) -> matched pairs. Inner join; a point can match many
     polygons (one row per match)."""
-    from ..sources.corpus import spread_scan
-
     cover = polygon_cover(polys, res)
     if broadcast_polys:
         cover = F.broadcast(cover)
-    # the PIP residual below is a per-row python stage on the big side;
-    # spread an under-split point scan so it runs core-wide (round-6,
-    # no-op on a properly split table)
-    points = spread_scan(points, "lon")
+    # NO scan spread here (round-6 A/B): the PIP residual's python work
+    # is proportional to the CANDIDATE set, which the cell prefilter
+    # usually makes small (nations: ~2% of points) — spreading the
+    # points shuffled the whole input to parallelize a tiny stage, and
+    # spreading the candidates shipped the joined polygon geom per row.
+    # Both variants measured at or below the round-start plan, which is
+    # kept; at volume the scan is already wide and the question is moot.
     pts = points.withColumn("cell", cells.col_cell_from_lonlat(F.col("lon"), F.col("lat"), res))
     cand = pts.join(cover, "cell", "inner")
     pip = pip_filter_udf()
